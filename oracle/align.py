@@ -1,0 +1,57 @@
+"""Oracle banded global alignment. Frozen scoring: DESIGN.md §10.
+
+match +2, mismatch -3, linear gap -4; cells with |i-j| > band are -inf.
+Traceback tie-break: diagonal > up (consume query) > left (consume target).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MATCH, MISMATCH, GAP = 2, -3, -4
+NEG_INF = -(1 << 30)
+
+
+def banded_align(query, target, band: int = 15):
+    """Banded global DP. Returns (score, transcript) with transcript over
+    {'M' match, 'X' mismatch, 'I' gap-in-target (consumes query),
+     'D' gap-in-query (consumes target)}.
+    """
+    q = np.asarray(query, dtype=np.int64)
+    r = np.asarray(target, dtype=np.int64)
+    n, m = len(q), len(r)
+    S = np.full((n + 1, m + 1), NEG_INF, dtype=np.int64)
+    for j in range(0, min(m, band) + 1):
+        S[0][j] = GAP * j
+    for i in range(0, min(n, band) + 1):
+        S[i][0] = GAP * i
+    for i in range(1, n + 1):
+        lo = max(1, i - band)
+        hi = min(m, i + band)
+        for j in range(lo, hi + 1):
+            sub = MATCH if (q[i - 1] == r[j - 1] and q[i - 1] < 4) else MISMATCH
+            best = S[i - 1][j - 1] + sub
+            if S[i - 1][j] + GAP > best:
+                best = S[i - 1][j] + GAP
+            if S[i][j - 1] + GAP > best:
+                best = S[i][j - 1] + GAP
+            S[i][j] = best
+    score = int(S[n][m])
+    # traceback (diag > up > left)
+    i, j = n, m
+    ops = []
+    while i > 0 or j > 0:
+        s = S[i][j]
+        if i > 0 and j > 0 and S[i - 1][j - 1] != NEG_INF:
+            sub = MATCH if (q[i - 1] == r[j - 1] and q[i - 1] < 4) else MISMATCH
+            if S[i - 1][j - 1] + sub == s:
+                ops.append("M" if sub == MATCH else "X")
+                i, j = i - 1, j - 1
+                continue
+        if i > 0 and S[i - 1][j] != NEG_INF and S[i - 1][j] + GAP == s:
+            ops.append("I")
+            i -= 1
+            continue
+        ops.append("D")
+        j -= 1
+    return score, "".join(reversed(ops))
