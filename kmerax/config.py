@@ -1,0 +1,86 @@
+"""Run configuration (SURVEY.md §5 "Config / flag system").
+
+Frozen dataclass merged from defaults <- TOML file <- CLI overrides; the
+merged config is serialized into the run manifest for reproducibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class KmeraxConfig:
+    # k-mer / minimizer (DESIGN.md §§2,4)
+    k: int = 31
+    minimizer_m: int = 11
+    num_buckets: int = 256
+
+    # counting Bloom spectrum (DESIGN.md §5)
+    bloom_log2_width: int = 24
+    bloom_hashes: int = 4
+
+    # solid threshold (DESIGN.md §7); None = auto from histogram valley
+    threshold: Optional[int] = None
+
+    # correction (DESIGN.md §8)
+    rounds: int = 2
+    max_runs: int = 8
+    max_edits: int = 8
+
+    # alignment (DESIGN.md §10)
+    band: int = 15
+
+    # batching / IO
+    batch_reads: int = 4096
+    max_read_len: int = 160
+
+    # mesh (DESIGN.md §12)
+    mesh_data: int = 1
+    mesh_bucket: int = 1
+
+    # two-pass mode (BASELINE.md config 5): second-pass k, 0 = disabled
+    k2: int = 0
+
+    def __post_init__(self):
+        if self.k % 2 == 0 or not (0 < self.k <= 63):
+            raise ValueError(f"k must be odd in (0, 63], got {self.k}")
+        if not (0 < self.minimizer_m <= 15 and self.minimizer_m < self.k):
+            raise ValueError(f"minimizer_m must be in (0,15] and < k")
+        if self.k2 and (self.k2 % 2 == 0 or not (0 < self.k2 <= 63)):
+            raise ValueError(f"k2 must be odd in (0, 63], got {self.k2}")
+        if not (0 < self.bloom_log2_width <= 31):
+            raise ValueError("bloom_log2_width must be in (0, 31]")
+
+    @property
+    def num_words(self) -> int:
+        return (self.k + 15) // 16
+
+    def replace(self, **kw) -> "KmeraxConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "KmeraxConfig":
+        return cls(**json.loads(s))
+
+    @classmethod
+    def load(cls, toml_path: Optional[str] = None, **overrides) -> "KmeraxConfig":
+        """defaults <- TOML file <- explicit overrides (None values ignored)."""
+        fields = {}
+        if toml_path:
+            import tomllib
+            with open(toml_path, "rb") as f:
+                data = tomllib.load(f)
+            known = {f.name for f in dataclasses.fields(cls)}
+            unknown = set(data) - known
+            if unknown:
+                raise ValueError(f"unknown config keys in {toml_path}: {sorted(unknown)}")
+            fields.update(data)
+        fields.update({k: v for k, v in overrides.items() if v is not None})
+        return cls(**fields)
