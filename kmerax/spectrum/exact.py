@@ -1,0 +1,101 @@
+"""Exact k-mer spectrum: sort + segment-sum counting (SURVEY.md §2 #9).
+
+The reference's k-mer hash table becomes a *sorted* device array of unique
+canonical k-mers + counts: batches are lax.sort-ed (lexicographic over words,
+most-significant first), deduped with segment sums, and merged by re-sorting
+— every step maps onto XLA's fast parallel sort, no pointer chasing.
+Lookups are vectorized binary searches (log2 N gathers).
+
+Invalid/padding lanes use an all-ones SENTINEL row, which is not a valid
+canonical k-mer (bits above 2k would be set) and sorts after every real one.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SENTINEL_WORD = 0xFFFFFFFF
+
+
+def sentinel_rows(n: int, w: int) -> jnp.ndarray:
+    return jnp.full((n, w), SENTINEL_WORD, dtype=jnp.uint32)
+
+
+def mask_invalid(words: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Replace invalid rows with the sentinel so they sort to the end."""
+    return jnp.where(valid[..., None], words,
+                     jnp.uint32(SENTINEL_WORD))
+
+
+def is_sentinel(words: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(words == jnp.uint32(SENTINEL_WORD), axis=-1)
+
+
+def sort_kmers(words: jnp.ndarray, *payloads):
+    """Sort (N, W) k-mer rows in big-integer order, carrying payloads along."""
+    w = words.shape[-1]
+    keys = [words[:, i] for i in range(w - 1, -1, -1)]  # MSW first
+    ops = keys + list(payloads)
+    out = jax.lax.sort(ops, dimension=0, is_stable=True, num_keys=w)
+    sorted_words = jnp.stack(out[:w][::-1], axis=-1)
+    return (sorted_words, *out[w:]) if payloads else sorted_words
+
+
+def unique_counts(sorted_words: jnp.ndarray,
+                  weights: jnp.ndarray | None = None):
+    """Dedup a SORTED row array.
+
+    Returns (unique (N,W) sentinel-padded & front-compacted, counts (N,)
+    int32, n_unique int32 scalar). `weights` defaults to ones (plain
+    counting); pass counts when merging pre-counted spectra.
+    """
+    n, w = sorted_words.shape
+    if weights is None:
+        weights = jnp.ones(n, dtype=jnp.int32)
+    real = ~is_sentinel(sorted_words)
+    weights = weights * real.astype(jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones(1, dtype=bool),
+         jnp.any(sorted_words[1:] != sorted_words[:-1], axis=-1)])
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    counts = jax.ops.segment_sum(weights, seg_id, num_segments=n)
+    tgt = jnp.where(is_start & real, seg_id, n)  # dropped when masked
+    uniq = sentinel_rows(n, w).at[tgt].set(sorted_words, mode="drop")
+    n_unique = jnp.sum((is_start & real).astype(jnp.int32))
+    return uniq, counts, n_unique
+
+
+def merge_sorted(a_words, a_counts, b_words, b_counts):
+    """Merge two deduped sorted spectra (sentinel padding allowed) into one.
+
+    Output capacity = len(a) + len(b); same (words, counts, n_unique) form.
+    """
+    words = jnp.concatenate([a_words, b_words], axis=0)
+    counts = jnp.concatenate([a_counts, b_counts], axis=0)
+    sw, sc = sort_kmers(words, counts)
+    return unique_counts(sw, sc)
+
+
+def lookup_sorted(uniq_words: jnp.ndarray, counts: jnp.ndarray,
+                  query_words: jnp.ndarray):
+    """Binary-search queries against a deduped sorted spectrum.
+
+    query_words (..., W) -> (counts (...), found (...)). Sentinel-padded
+    tail rows compare greater than every real k-mer, so padding is inert.
+    """
+    from kmerax.core.codec import words_less
+
+    m = uniq_words.shape[0]
+    steps = max(1, (m - 1).bit_length())
+    lo = jnp.zeros(query_words.shape[:-1], dtype=jnp.int32)
+    hi = jnp.full(query_words.shape[:-1], m, dtype=jnp.int32)  # exclusive
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        mid_rows = uniq_words[jnp.clip(mid, 0, m - 1)]
+        less = words_less(mid_rows, query_words)
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    idx = jnp.clip(lo, 0, m - 1)
+    found = jnp.all(uniq_words[idx] == query_words, axis=-1)
+    return jnp.where(found, counts[idx], 0), found
