@@ -1,0 +1,166 @@
+"""Spectrum-based error correction, vectorized over a read batch.
+
+Bit-exact implementation of the frozen algorithm in DESIGN.md §8 ("C++ SIMD
+correction loop → Pallas vectorized spectrum lookup+edit", BASELINE.json:5).
+This module is the XLA reference path: everything is fixed-shape jnp; the
+candidate-slot loop is a static unroll whose per-slot work is vectorized
+across the whole batch, reproducing the oracle's *sequential* within-round
+edit semantics exactly. A Pallas kernel can replace the inner probe loop
+without changing results.
+
+`query_fn(canon_words, valid) -> int32 counts` abstracts the spectrum
+(counting Bloom, exact sorted, or bucket-sharded).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from kmerax.core.codec import canonical_words
+from kmerax.core.kmers import extract_kmers
+
+
+def _weak_run_candidates(solid, existing, last_j, k, max_runs):
+    """Candidate edit positions per read (DESIGN.md §8), -1 = absent.
+
+    Returns (B, 2*max_runs) int32, in run order, deduped keeping first.
+    """
+    B, nk = solid.shape
+    weak = existing & ~solid
+    prev_weak = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype=bool), weak[:, :-1]], axis=1)
+    next_weak = jnp.concatenate(
+        [weak[:, 1:], jnp.zeros((B, 1), dtype=bool)], axis=1)
+    run_start = weak & ~prev_weak
+    run_end = weak & ~next_weak
+    run_id = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1
+
+    j_idx = jnp.broadcast_to(jnp.arange(nk, dtype=jnp.int32), (B, nk))
+    rows = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, nk))
+    dead = B * max_runs
+
+    def scatter_first(cond):
+        tgt = jnp.where(cond & (run_id < max_runs),
+                        rows * max_runs + run_id, dead)
+        out = jnp.full(B * max_runs, -1, dtype=jnp.int32)
+        return out.at[tgt.reshape(-1)].set(
+            j_idx.reshape(-1), mode="drop").reshape(B, max_runs)
+
+    j0 = scatter_first(run_start)
+    j1 = scatter_first(run_end)
+    have = j0 >= 0
+    lj = last_j[:, None]
+
+    interior = (j0 > 0) & (j1 < lj)
+    left_e = (j0 == 0) & (j1 < lj)
+    right_e = (j0 > 0) & (j1 == lj)
+    # whole-read-weak = (j0==0)&(j1==lj): cand_a=j1, cand_b=j0+k-1
+    cand_a = jnp.where(interior | right_e, j0 + k - 1, j1)
+    cand_b = jnp.where(interior, j1,
+                       jnp.where(left_e | right_e, -1, j0 + k - 1))
+    cand_a = jnp.where(have, cand_a, -1)
+    cand_b = jnp.where(have, cand_b, -1)
+    cands = jnp.stack([cand_a, cand_b], axis=-1).reshape(B, 2 * max_runs)
+
+    # dedupe keeping first occurrence (static O(C^2), C small)
+    C = 2 * max_runs
+    cols = [cands[:, c] for c in range(C)]
+    for c in range(1, C):
+        dup = jnp.zeros(B, dtype=bool)
+        for c2 in range(c):
+            dup = dup | ((cols[c] == cols[c2]) & (cols[c2] >= 0))
+        cols[c] = jnp.where(dup, -1, cols[c])
+    return jnp.stack(cols, axis=1)
+
+
+def _window_counts(bases, last_j, k, t, query_fn):
+    """Round-start solidity over all windows. Returns (solid, existing)."""
+    words, valid = extract_kmers(bases, k)
+    canon, _ = canonical_words(words, k)
+    counts = query_fn(canon, valid)
+    nk = bases.shape[1] - k + 1
+    j = jnp.arange(nk, dtype=jnp.int32)
+    existing = j[None, :] <= last_j[:, None]
+    solid = (counts >= t) & valid & existing
+    return solid, existing
+
+
+def _eval_candidate(bases, lengths, last_j, i, active, k, t, query_fn):
+    """One candidate slot, vectorized over reads. Returns (bases, accepted)."""
+    B, L = bases.shape
+    rows = jnp.arange(B, dtype=jnp.int32)
+    ic = jnp.clip(i, 0, L - 1)
+
+    offs = ic[:, None] + jnp.arange(-(k - 1), k, dtype=jnp.int32)  # (B, 2k-1)
+    oob = (offs < 0) | (offs >= lengths[:, None])
+    wb = bases[rows[:, None], jnp.clip(offs, 0, L - 1)]
+    wb = jnp.where(oob, 4, wb)                                     # (B, 2k-1)
+
+    center = jnp.arange(2 * k - 1) == (k - 1)
+    bvals = jnp.arange(4, dtype=bases.dtype)
+    wb4 = jnp.where(center[None, None, :], bvals[None, :, None],
+                    wb[:, None, :])                                # (B,4,2k-1)
+
+    words, wvalid = extract_kmers(wb4, k)                          # (B,4,k,·)
+    canon, _ = canonical_words(words, k)
+    counts = query_fn(canon, wvalid)
+
+    jglob = ic[:, None] - (k - 1) + jnp.arange(k, dtype=jnp.int32)  # (B,k)
+    in_range = (jglob >= 0) & (jglob <= last_j[:, None])
+    solid4 = (counts >= t) & wvalid & in_range[:, None, :]
+    scores = jnp.sum(solid4.astype(jnp.int32), axis=-1)            # (B,4)
+
+    cur = bases[rows, ic]
+    cur_score = jnp.where(
+        cur < 4,
+        jnp.take_along_axis(scores, jnp.clip(cur, 0, 3)[:, None].astype(
+            jnp.int32), axis=1)[:, 0],
+        0)
+    best_s = jnp.max(scores, axis=1)
+    best_b = jnp.argmax(scores, axis=1).astype(bases.dtype)  # first max wins
+
+    accept = (active & (i >= 0) & (best_b != cur)
+              & (best_s > cur_score) & (best_s >= 1))
+    newb = jnp.where(accept, best_b, cur)
+    bases = bases.at[rows, ic].set(newb)
+    return bases, accept
+
+
+def correct_batch(bases, lengths, k: int, t: int, query_fn,
+                  rounds: int = 2, max_runs: int = 8, max_edits: int = 8):
+    """Correct a padded read batch (DESIGN.md §8), bit-exact vs oracle.
+
+    Args:
+      bases: (B, L) int32, padded past `lengths` with 4.
+      lengths: (B,) int32 true read lengths.
+      query_fn: (canon_words, valid) -> int32 counts.
+    Returns (corrected bases (B, L) int32, n_edits (B,) int32 — edits kept;
+    0 where the read was reverted for exceeding max_edits).
+    """
+    B, L = bases.shape
+    bases = bases.astype(jnp.int32)
+    orig = bases
+    last_j = lengths - k                       # may be negative (short reads)
+    edits = jnp.zeros(B, dtype=jnp.int32)
+    done = last_j < 0                          # reads shorter than k
+
+    for _ in range(rounds):
+        solid, existing = _window_counts(bases, last_j, k, t, query_fn)
+        all_solid = jnp.all(solid | ~existing, axis=1)
+        any_solid = jnp.any(solid, axis=1)
+        done = done | all_solid | ~any_solid
+        active = ~done
+        cands = _weak_run_candidates(solid, existing, last_j, k, max_runs)
+        made_edit = jnp.zeros(B, dtype=bool)
+        for c in range(cands.shape[1]):
+            bases, acc = _eval_candidate(
+                bases, lengths, last_j, cands[:, c], active, k, t, query_fn)
+            edits = edits + acc.astype(jnp.int32)
+            made_edit = made_edit | acc
+        done = done | ~made_edit
+
+    revert = edits > max_edits
+    bases = jnp.where(revert[:, None], orig, bases)
+    n_edits = jnp.where(revert, 0, edits)
+    return bases, n_edits
