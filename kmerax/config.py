@@ -23,6 +23,10 @@ class KmeraxConfig:
     bloom_log2_width: int = 24
     bloom_hashes: int = 4
 
+    # exact spectrum (DESIGN.md §6): needed for auto-threshold + assembly
+    exact_spectrum: bool = True
+    exact_capacity: int = 1 << 22     # max distinct k-mers held
+
     # solid threshold (DESIGN.md §7); None = auto from histogram valley
     threshold: Optional[int] = None
 

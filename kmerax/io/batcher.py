@@ -1,0 +1,95 @@
+"""Fixed-shape read batching + background host-parse pipeline (SURVEY.md #8, #19).
+
+Replaces the reference's thread-pool I/O: a producer thread parses + packs
+FASTQ into padded numpy batches while the main thread keeps the device busy
+(XLA dispatch is already async on the device side, so one producer thread
+suffices to overlap decompress/parse with compute; PP row of SURVEY.md §2
+parallelism table).
+
+Batches are always (batch_size, max_len): the final partial batch is padded
+with empty reads (length 0) so jit never re-specializes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from kmerax.core.codec import seq_bytes_to_bases
+from kmerax.io.fastq import FastqReader, FastqRecord
+
+
+@dataclass
+class ReadBatch:
+    bases: np.ndarray           # (B, L) int32, padded with 4
+    lengths: np.ndarray         # (B,) int32; 0 for padding rows
+    n: int                      # number of real reads in this batch
+    records: list               # n FastqRecords (name/qual passthrough)
+    index0: int                 # global index of first read
+
+
+def _pack(records: list[FastqRecord], batch_size: int, max_len: int,
+          index0: int) -> ReadBatch:
+    bases = np.full((batch_size, max_len), 4, dtype=np.int32)
+    lengths = np.zeros(batch_size, dtype=np.int32)
+    for i, rec in enumerate(records):
+        b = seq_bytes_to_bases(np.frombuffer(rec.seq, dtype=np.uint8))
+        L = min(len(b), max_len)
+        if len(b) > max_len:
+            raise ValueError(
+                f"read {rec.name!r} length {len(b)} > max_read_len {max_len}")
+        bases[i, :L] = b[:L]
+        lengths[i] = L
+    return ReadBatch(bases, lengths, len(records), records, index0)
+
+
+def batch_reads(paths, batch_size: int, max_len: int):
+    """Synchronous batch iterator over one or more FASTQ files."""
+    if isinstance(paths, str):
+        paths = [paths]
+    buf: list[FastqRecord] = []
+    idx0 = 0
+    for p in paths:
+        for rec in FastqReader(p):
+            buf.append(rec)
+            if len(buf) == batch_size:
+                yield _pack(buf, batch_size, max_len, idx0)
+                idx0 += batch_size
+                buf = []
+    if buf:
+        yield _pack(buf, batch_size, max_len, idx0)
+
+
+class BackgroundBatcher:
+    """Double-buffered producer thread wrapping batch_reads."""
+
+    _SENTINEL = object()
+
+    def __init__(self, paths, batch_size: int, max_len: int, depth: int = 4):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err = None
+        self._thread = threading.Thread(
+            target=self._produce, args=(paths, batch_size, max_len),
+            daemon=True)
+        self._thread.start()
+
+    def _produce(self, paths, batch_size, max_len):
+        try:
+            for b in batch_reads(paths, batch_size, max_len):
+                self._q.put(b)
+        except BaseException as e:   # surface parse errors to the consumer
+            self._err = e
+        finally:
+            self._q.put(self._SENTINEL)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._SENTINEL:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item

@@ -1,0 +1,109 @@
+"""Streaming FASTQ(.gz) reader & byte-preserving writer (SURVEY.md §2 #5-6).
+
+The reference overlaps decompression/parse/compute with a thread pool
+(BASELINE.json:5 "thread-pool read I/O"); here the chunked parser runs on the
+host (optionally behind kmerax.io.batcher.BackgroundBatcher threads) while
+XLA executes asynchronously on device. Parsing is bytes.split-based (C speed);
+a C++ extension slot exists if profiling demands it (SURVEY.md §2 native list).
+
+Output format contract (DESIGN.md §11): names and quality lines are carried
+through byte-identical; only the sequence line is rewritten.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from dataclasses import dataclass
+
+import numpy as np
+
+from kmerax.core.codec import bases_to_seq_bytes, seq_bytes_to_bases
+
+_CHUNK = 8 << 20
+
+
+def _open_r(path: str):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb", buffering=_CHUNK)
+
+
+def _open_w(path: str):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, "wb", compresslevel=4)
+    return open(path, "wb", buffering=_CHUNK)
+
+
+@dataclass
+class FastqRecord:
+    name: bytes   # without leading '@', without newline
+    seq: bytes
+    qual: bytes
+
+
+class FastqReader:
+    """Iterates FastqRecord from a (possibly gzipped) FASTQ file."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __iter__(self):
+        tail = b""
+        nline = 0
+        fields = [b"", b"", b""]  # name, seq, (plus ignored), qual
+        with _open_r(self.path) as f:
+            while True:
+                chunk = f.read(_CHUNK)
+                if not chunk:
+                    break
+                lines = (tail + chunk).split(b"\n")
+                tail = lines.pop()
+                for ln in lines:
+                    m = nline & 3
+                    if m == 0:
+                        if not ln.startswith(b"@"):
+                            raise ValueError(
+                                f"{self.path}: record {nline >> 2}: name line "
+                                f"must start with '@', got {ln[:20]!r}")
+                        fields[0] = ln[1:]
+                    elif m == 1:
+                        fields[1] = ln
+                    elif m == 3:
+                        yield FastqRecord(fields[0], fields[1], ln)
+                    nline += 1
+            if tail:
+                if (nline & 3) == 3:
+                    yield FastqRecord(fields[0], fields[1], tail)
+                else:
+                    raise ValueError(f"{self.path}: truncated FASTQ record")
+            elif (nline & 3) != 0:
+                raise ValueError(f"{self.path}: truncated FASTQ record")
+
+
+def read_fastq(path: str) -> list[FastqRecord]:
+    return list(FastqReader(path))
+
+
+class FastqWriter:
+    """Writes corrected reads; name/qual byte-identical, LF endings."""
+
+    def __init__(self, path: str):
+        self._f = _open_w(path)
+
+    def write(self, name: bytes, seq_bases: np.ndarray, qual: bytes):
+        seq = bases_to_seq_bytes(np.asarray(seq_bases, dtype=np.uint8))
+        self._f.write(b"@" + name + b"\n" + seq.tobytes() + b"\n+\n"
+                      + qual + b"\n")
+
+    def write_record(self, rec: FastqRecord, seq_bases: np.ndarray):
+        self.write(rec.name, seq_bases, rec.qual)
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()

@@ -1,0 +1,186 @@
+"""Pipeline orchestrator: count → correct → assemble stages (SURVEY.md §2 #17).
+
+Single-host driver over the streamed batcher; every device step is one jit
+with fixed shapes, so each stage compiles exactly once. Stage call stacks
+mirror SURVEY.md §3.1-3.2. The distributed (mesh) variants live in
+kmerax/dist and kmerax/spectrum/sharded and plug in via the same jit steps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kmerax.config import KmeraxConfig
+from kmerax.core.codec import canonical_words
+from kmerax.core.kmers import extract_kmers
+from kmerax.io.batcher import BackgroundBatcher
+from kmerax.io.fastq import FastqWriter
+from kmerax.ops.correct import correct_batch
+from kmerax.spectrum import (
+    BloomParams, insert, lookup_sorted, make_table, merge_sorted, query,
+)
+from kmerax.spectrum.exact import (
+    mask_invalid, sentinel_rows, sort_kmers, unique_counts,
+)
+from kmerax.spectrum.histogram import count_histogram, solid_threshold
+from kmerax.utils.logging import get_logger
+from kmerax.utils.metrics import MetricsWriter
+
+log = get_logger("kmerax.pipeline")
+
+
+@dataclass
+class CountState:
+    cfg: KmeraxConfig
+    bloom_table: jnp.ndarray
+    exact: Optional[tuple]          # (uniq, counts, n_unique) or None
+    hist: Optional[np.ndarray]
+    threshold: int
+    n_reads: int
+    n_kmers: int
+
+    def query_fn(self, use_exact: bool = False):
+        """Spectrum query closure for ops.correct_batch."""
+        if use_exact:
+            if self.exact is None:
+                raise ValueError("exact spectrum not built")
+            uniq, counts, _ = self.exact
+            return lambda cw, v: jnp.where(
+                v, lookup_sorted(uniq, counts, cw)[0], 0)
+        params = BloomParams(self.cfg.k, self.cfg.bloom_log2_width,
+                             self.cfg.bloom_hashes)
+        table = self.bloom_table
+        return lambda cw, v: query(params, table, cw, v)
+
+
+def _count_steps(cfg: KmeraxConfig, k: int):
+    """Build the jitted per-batch count step(s) for this config."""
+    params = BloomParams(k, cfg.bloom_log2_width, cfg.bloom_hashes)
+    w = (k + 15) // 16
+
+    @jax.jit
+    def bloom_step(table, bases):
+        words, valid = extract_kmers(bases, k)
+        canon, _ = canonical_words(words, k)
+        table = insert(params, table, canon, valid)
+        return table, jnp.sum(valid.astype(jnp.int32))
+
+    @jax.jit
+    def exact_batch(bases):
+        words, valid = extract_kmers(bases, k)
+        canon, _ = canonical_words(words, k)
+        flat = mask_invalid(canon, valid).reshape(-1, w)
+        return unique_counts(sort_kmers(flat))
+
+    @jax.jit
+    def exact_merge(uniq, counts, buniq, bcounts):
+        mu, mc, mn = merge_sorted(uniq, counts, buniq, bcounts)
+        cap = cfg.exact_capacity
+        return mu[:cap], mc[:cap], mn
+
+    return params, bloom_step, exact_batch, exact_merge
+
+
+def run_count(cfg: KmeraxConfig, paths, k: Optional[int] = None,
+              metrics: Optional[MetricsWriter] = None) -> CountState:
+    """Count pass (SURVEY.md §3.1): stream batches -> Bloom (+ exact)."""
+    k = k or cfg.k
+    m = metrics or MetricsWriter(None)
+    params, bloom_step, exact_batch, exact_merge = _count_steps(cfg, k)
+    table = make_table(params)
+    exact = None
+    if cfg.exact_spectrum:
+        cap, w = cfg.exact_capacity, (k + 15) // 16
+        exact = (sentinel_rows(cap, w),
+                 jnp.zeros(cap, dtype=jnp.int32),
+                 jnp.zeros((), dtype=jnp.int32))
+
+    n_reads = n_kmers = 0
+    m.stage_start("count")
+    for batch in BackgroundBatcher(paths, cfg.batch_reads, cfg.max_read_len):
+        bases = jnp.asarray(batch.bases)
+        table, nk = bloom_step(table, bases)
+        if exact is not None:
+            bu, bc, _ = exact_batch(bases)
+            uniq, counts, n = exact_merge(exact[0], exact[1], bu, bc)
+            exact = (uniq, counts, n)
+        n_reads += batch.n
+        n_kmers += int(nk)
+    if exact is not None:
+        n_unique = int(exact[2])
+        if n_unique >= cfg.exact_capacity:
+            raise RuntimeError(
+                f"exact spectrum overflow: {n_unique} distinct k-mers >= "
+                f"capacity {cfg.exact_capacity}; raise exact_capacity")
+        log.info("count: %d reads, %d k-mers, %d distinct",
+                 n_reads, n_kmers, n_unique)
+
+    hist = None
+    if exact is not None:
+        hist = np.asarray(count_histogram(exact[1]))
+    t = solid_threshold(hist, cfg.threshold) if hist is not None \
+        else (cfg.threshold if cfg.threshold is not None else 2)
+    if cfg.threshold is None and hist is None:
+        raise ValueError("auto threshold needs exact_spectrum=True")
+    m.stage_end("count", reads=n_reads, kmers=n_kmers, threshold=t)
+    log.info("count: threshold=%d", t)
+    return CountState(cfg, table, exact, hist, t, n_reads, n_kmers)
+
+
+def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
+                metrics: Optional[MetricsWriter] = None,
+                use_exact: bool = False) -> dict:
+    """Correct pass (SURVEY.md §3.2): stream -> correct_batch -> FASTQ."""
+    m = metrics or MetricsWriter(None)
+    qf = state.query_fn(use_exact)
+    k, t = cfg.k, state.threshold
+
+    @jax.jit
+    def step(bases, lengths):
+        return correct_batch(bases, lengths, k, t, qf,
+                             rounds=cfg.rounds, max_runs=cfg.max_runs,
+                             max_edits=cfg.max_edits)
+
+    n_reads = n_edited = n_edits = 0
+    m.stage_start("correct")
+    with FastqWriter(out_path) as out:
+        for batch in BackgroundBatcher(paths, cfg.batch_reads,
+                                       cfg.max_read_len):
+            fixed, ne = step(jnp.asarray(batch.bases),
+                             jnp.asarray(batch.lengths))
+            fixed = np.asarray(fixed)
+            ne = np.asarray(ne)
+            for i in range(batch.n):
+                rec = batch.records[i]
+                out.write_record(rec, fixed[i, :batch.lengths[i]])
+            n_reads += batch.n
+            n_edited += int((ne[:batch.n] > 0).sum())
+            n_edits += int(ne[:batch.n].sum())
+    stats = {"reads": n_reads, "edited_reads": n_edited, "edits": n_edits}
+    m.stage_end("correct", **stats)
+    log.info("correct: %s", stats)
+    return stats
+
+
+def run_pipeline(cfg: KmeraxConfig, paths, out_fastq: str,
+                 out_fasta: Optional[str] = None,
+                 metrics_path: Optional[str] = None) -> dict:
+    """count -> correct [-> assemble]; two-pass (k2) handled by caller CLI."""
+    m = MetricsWriter(metrics_path)
+    state = run_count(cfg, paths, metrics=m)
+    stats = run_correct(cfg, paths, state, out_fastq, metrics=m)
+    result = {"threshold": state.threshold, **stats}
+    if out_fasta is not None:
+        from kmerax.graph import assemble_to_fasta
+        m.stage_start("assemble")
+        n_unitigs = assemble_to_fasta(cfg, state, out_fasta,
+                                      corrected_fastq=out_fastq)
+        m.stage_end("assemble", unitigs=n_unitigs)
+        result["unitigs"] = n_unitigs
+    m.close()
+    return result

@@ -1,0 +1,100 @@
+"""FASTQ/FASTA IO and batcher tests (byte round-trips, padding, errors)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from kmerax.io import (
+    BackgroundBatcher, FastqReader, FastqWriter, batch_reads, read_fastq,
+    read_fasta, write_fasta,
+)
+from kmerax.core.codec import seq_bytes_to_bases
+
+from sim import ecoli_like, make_fastq
+
+
+@pytest.fixture(scope="module")
+def fastq_file(tmp_path_factory):
+    _, reads = ecoli_like(seed=44, genome_len=1000, coverage=20,
+                          read_len=80, error_rate=0.01)
+    p = tmp_path_factory.mktemp("io") / "reads.fastq"
+    p.write_bytes(make_fastq(reads))
+    return str(p), reads
+
+
+def test_fastq_read_roundtrip(fastq_file, tmp_path):
+    path, reads = fastq_file
+    recs = read_fastq(path)
+    assert len(recs) == len(reads)
+    assert recs[0].name.decode() == reads[0].name
+    assert recs[0].seq.decode() == reads[0].seq
+    assert recs[0].qual.decode() == reads[0].qual
+    # writer round trip: rewriting the same bases reproduces the bytes
+    out = tmp_path / "out.fastq"
+    with FastqWriter(str(out)) as w:
+        for rec in recs:
+            w.write_record(rec, seq_bytes_to_bases(
+                np.frombuffer(rec.seq, dtype=np.uint8)))
+    assert out.read_bytes() == open(path, "rb").read()
+
+
+def test_fastq_gz_roundtrip(fastq_file, tmp_path):
+    path, reads = fastq_file
+    gz = tmp_path / "reads.fastq.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(open(path, "rb").read())
+    recs = read_fastq(str(gz))
+    assert len(recs) == len(reads)
+    assert recs[-1].seq.decode() == reads[-1].seq
+
+
+def test_fastq_truncated_raises(tmp_path):
+    p = tmp_path / "bad.fastq"
+    p.write_bytes(b"@r1\nACGT\n+\n")
+    with pytest.raises(ValueError, match="truncated"):
+        read_fastq(str(p))
+    p2 = tmp_path / "bad2.fastq"
+    p2.write_bytes(b"r1\nACGT\n+\nIIII\n")
+    with pytest.raises(ValueError, match="name line"):
+        read_fastq(str(p2))
+
+
+def test_batcher_shapes_and_padding(fastq_file):
+    path, reads = fastq_file
+    batches = list(batch_reads(path, batch_size=64, max_len=100))
+    n = sum(b.n for b in batches)
+    assert n == len(reads)
+    for b in batches:
+        assert b.bases.shape == (64, 100)
+        assert (b.bases[:, 80:] == 4).all()          # pad beyond read len
+        for i in range(b.n):
+            assert b.lengths[i] == 80
+        assert (b.lengths[b.n:] == 0).all()
+    # index0 is sequential
+    assert [b.index0 for b in batches] == list(range(0, n, 64))[:len(batches)]
+
+
+def test_background_batcher_matches_sync(fastq_file):
+    path, _ = fastq_file
+    sync = list(batch_reads(path, 32, 100))
+    bg = list(BackgroundBatcher(path, 32, 100))
+    assert len(sync) == len(bg)
+    for a, b in zip(sync, bg):
+        assert np.array_equal(a.bases, b.bases)
+        assert a.n == b.n
+
+
+def test_background_batcher_propagates_errors(tmp_path):
+    p = tmp_path / "bad.fastq"
+    p.write_bytes(b"@r1\nACGT\n+\n")
+    with pytest.raises(ValueError, match="truncated"):
+        list(BackgroundBatcher(str(p), 8, 50))
+
+
+def test_fasta_roundtrip(tmp_path):
+    p = tmp_path / "x.fasta"
+    seqs = ["ACGT" * 10, "TTTTA"]
+    write_fasta(str(p), seqs)
+    got = read_fasta(str(p))
+    assert got == [("unitig_0 len=40", seqs[0]), ("unitig_1 len=5", seqs[1])]
