@@ -77,12 +77,11 @@ def merge_sorted(a_words, a_counts, b_words, b_counts):
     return unique_counts(sw, sc)
 
 
-def lookup_sorted(uniq_words: jnp.ndarray, counts: jnp.ndarray,
-                  query_words: jnp.ndarray):
-    """Binary-search queries against a deduped sorted spectrum.
+def searchsorted_words(uniq_words: jnp.ndarray, query_words: jnp.ndarray):
+    """Vectorized binary search: (..., W) queries -> (idx, found).
 
-    query_words (..., W) -> (counts (...), found (...)). Sentinel-padded
-    tail rows compare greater than every real k-mer, so padding is inert.
+    idx is the row of the match (clipped lower-bound otherwise). Sentinel
+    padding rows compare greater than every real k-mer, so padding is inert.
     """
     from kmerax.core.codec import words_less
 
@@ -98,4 +97,11 @@ def lookup_sorted(uniq_words: jnp.ndarray, counts: jnp.ndarray,
         hi = jnp.where(less, hi, mid)
     idx = jnp.clip(lo, 0, m - 1)
     found = jnp.all(uniq_words[idx] == query_words, axis=-1)
+    return idx, found
+
+
+def lookup_sorted(uniq_words: jnp.ndarray, counts: jnp.ndarray,
+                  query_words: jnp.ndarray):
+    """Counts for queries against a deduped sorted spectrum: (counts, found)."""
+    idx, found = searchsorted_words(uniq_words, query_words)
     return jnp.where(found, counts[idx], 0), found
