@@ -58,6 +58,14 @@ class KmeraxConfig:
             raise ValueError(f"k2 must be odd in (0, 63], got {self.k2}")
         if not (0 < self.bloom_log2_width <= 31):
             raise ValueError("bloom_log2_width must be in (0, 31]")
+        nb = self.num_buckets
+        if nb & (nb - 1) or nb <= 0:
+            raise ValueError("num_buckets must be a power of two")
+        if (nb - 1).bit_length() >= self.bloom_log2_width:
+            raise ValueError("bloom_log2_width must exceed log2(num_buckets)")
+        mb = self.mesh_bucket
+        if mb & (mb - 1) or mb <= 0 or mb > nb:
+            raise ValueError("mesh_bucket must be a power of two <= num_buckets")
 
     @property
     def num_words(self) -> int:

@@ -35,13 +35,22 @@ def kmer_hash(words: jnp.ndarray, seed: int) -> jnp.ndarray:
     return h
 
 
-def bloom_indices(words: jnp.ndarray, log2_width: int, d: int) -> jnp.ndarray:
+def bloom_indices(words: jnp.ndarray, log2_width: int, d: int,
+                  buckets: jnp.ndarray | None = None,
+                  log2_buckets: int = 0) -> jnp.ndarray:
     """Kirsch–Mitzenmacher double-hashed probe indices (DESIGN.md §5).
 
-    Returns (..., d) int32 indices into a 2^log2_width table.
+    With `buckets` (the k-mers' minimizer buckets, (...)-shaped) the probes
+    land inside the bucket's contiguous segment of the global table —
+    the property that makes the spectrum bucket-shardable (DESIGN.md §12).
+    Returns (..., d) int32 GLOBAL indices into a 2^log2_width table.
     """
-    mask = _u32((1 << log2_width) - 1)
+    seg_bits = log2_width - log2_buckets
+    mask = _u32((1 << seg_bits) - 1)
     h1 = kmer_hash(words, HASH_SEED_1)
     h2 = kmer_hash(words, HASH_SEED_2) | _u32(1)
-    idx = [(h1 + _u32(i) * h2) & mask for i in range(d)]
-    return jnp.stack(idx, axis=-1).astype(jnp.int32)
+    offs = [(h1 + _u32(i) * h2) & mask for i in range(d)]
+    idx = jnp.stack(offs, axis=-1)
+    if buckets is not None:
+        idx = idx | (buckets.astype(jnp.uint32)[..., None] << seg_bits)
+    return idx.astype(jnp.int32)

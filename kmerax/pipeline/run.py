@@ -37,12 +37,13 @@ log = get_logger("kmerax.pipeline")
 @dataclass
 class CountState:
     cfg: KmeraxConfig
-    bloom_table: jnp.ndarray
+    bloom_table: jnp.ndarray        # (width,) single dev | (S,width) sharded-merged
     exact: Optional[tuple]          # (uniq, counts, n_unique) or None
     hist: Optional[np.ndarray]
     threshold: int
     n_reads: int
     n_kmers: int
+    sharded: Optional[object] = None  # ShardedParams when counted on a mesh
 
     def query_fn(self, use_exact: bool = False):
         """Spectrum query closure for ops.correct_batch."""
@@ -52,15 +53,21 @@ class CountState:
             uniq, counts, _ = self.exact
             return lambda cw, v: jnp.where(
                 v, lookup_sorted(uniq, counts, cw)[0], 0)
-        params = BloomParams(self.cfg.k, self.cfg.bloom_log2_width,
-                             self.cfg.bloom_hashes)
+        # sharded counts merge to the same GLOBAL table (DESIGN.md §13),
+        # so the plain query works for both paths.
+        params = _bloom_params(self.cfg, self.cfg.k)
         table = self.bloom_table
         return lambda cw, v: query(params, table, cw, v)
 
 
+def _bloom_params(cfg: KmeraxConfig, k: int) -> BloomParams:
+    return BloomParams(k, cfg.bloom_log2_width, cfg.bloom_hashes,
+                       cfg.minimizer_m, (cfg.num_buckets - 1).bit_length())
+
+
 def _count_steps(cfg: KmeraxConfig, k: int):
     """Build the jitted per-batch count step(s) for this config."""
-    params = BloomParams(k, cfg.bloom_log2_width, cfg.bloom_hashes)
+    params = _bloom_params(cfg, k)
     w = (k + 15) // 16
 
     @jax.jit
@@ -89,6 +96,8 @@ def _count_steps(cfg: KmeraxConfig, k: int):
 def run_count(cfg: KmeraxConfig, paths, k: Optional[int] = None,
               metrics: Optional[MetricsWriter] = None) -> CountState:
     """Count pass (SURVEY.md §3.1): stream batches -> Bloom (+ exact)."""
+    if cfg.mesh_data * cfg.mesh_bucket > 1:
+        return _run_count_sharded(cfg, paths, k, metrics)
     k = k or cfg.k
     m = metrics or MetricsWriter(None)
     params, bloom_step, exact_batch, exact_merge = _count_steps(cfg, k)
@@ -130,6 +139,79 @@ def run_count(cfg: KmeraxConfig, paths, k: Optional[int] = None,
     m.stage_end("count", reads=n_reads, kmers=n_kmers, threshold=t)
     log.info("count: threshold=%d", t)
     return CountState(cfg, table, exact, hist, t, n_reads, n_kmers)
+
+
+def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
+    """Distributed count pass over the ("data","bucket") mesh (DESIGN.md §12)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from kmerax.dist.mesh import AXIS_BUCKET, AXIS_DATA, MeshSpec, make_mesh
+    from kmerax.spectrum.exact import sentinel_rows
+    from kmerax.spectrum.sharded import (
+        ShardedParams, gather_exact_host, make_sharded_state,
+        merge_and_replicate, sharded_insert_step,
+    )
+
+    k = k or cfg.k
+    m = metrics or MetricsWriter(None)
+    mesh = make_mesh(MeshSpec(cfg.mesh_data, cfg.mesh_bucket))
+    S = cfg.mesh_bucket
+    if cfg.batch_reads % (cfg.mesh_data * S) != 0:
+        raise ValueError("batch_reads must divide by mesh size")
+    sp = ShardedParams(_bloom_params(cfg, k), n_shards=S)
+    shard_cap = None
+    if cfg.exact_spectrum:
+        # per-(data,bucket)-device capacity with margin for bucket skew
+        shard_cap = max(1 << 12, 2 * cfg.exact_capacity // S)
+    table, exact = make_sharded_state(sp, mesh, shard_cap, k)
+    step = sharded_insert_step(sp, mesh, k, shard_cap)
+    reads_sh = NamedSharding(mesh, P((AXIS_DATA, AXIS_BUCKET)))
+
+    n_reads = n_kmers = 0
+    m.stage_start("count")
+    for batch in BackgroundBatcher(paths, cfg.batch_reads, cfg.max_read_len):
+        bases = jax.device_put(jnp.asarray(batch.bases), reads_sh)
+        table, exact, nk, ovf = step(table, exact, bases)
+        if int(ovf) != 0:
+            raise RuntimeError(
+                f"bucket route overflow ({int(ovf)} k-mers): raise "
+                f"route_safety or rebalance buckets")
+        n_reads += batch.n
+        n_kmers += int(nk)
+
+    merged = merge_and_replicate(mesh)(table)        # (S, width) replicated
+    hist = None
+    exact_state = None
+    if exact is not None:
+        for d in range(cfg.mesh_data):
+            for s in range(S):
+                if int(np.asarray(exact[2])[d, s]) >= shard_cap:
+                    raise RuntimeError("exact shard overflow: raise "
+                                       "exact_capacity")
+        uniq_np, counts_np = gather_exact_host(exact, k)
+        n_unique = len(uniq_np)
+        if n_unique >= cfg.exact_capacity:
+            raise RuntimeError(
+                f"exact spectrum overflow: {n_unique} distinct k-mers")
+        cap, w = cfg.exact_capacity, (k + 15) // 16
+        uniq_dev = jnp.asarray(np.concatenate(
+            [uniq_np, np.full((cap - n_unique, w), 0xFFFFFFFF,
+                              dtype=np.uint32)]))
+        counts_dev = jnp.asarray(np.concatenate(
+            [np.clip(counts_np, 0, 2 ** 31 - 1).astype(np.int32),
+             np.zeros(cap - n_unique, np.int32)]))
+        exact_state = (uniq_dev, counts_dev,
+                       jnp.asarray(n_unique, dtype=jnp.int32))
+        hist = np.asarray(count_histogram(counts_dev))
+        log.info("count[mesh %dx%d]: %d reads, %d k-mers, %d distinct",
+                 cfg.mesh_data, S, n_reads, n_kmers, n_unique)
+
+    t = solid_threshold(hist, cfg.threshold) if hist is not None \
+        else (cfg.threshold if cfg.threshold is not None else 2)
+    if cfg.threshold is None and hist is None:
+        raise ValueError("auto threshold needs exact_spectrum=True")
+    m.stage_end("count", reads=n_reads, kmers=n_kmers, threshold=t)
+    return CountState(cfg, merged, exact_state, hist, t, n_reads, n_kmers,
+                      sharded=sp)
 
 
 def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,

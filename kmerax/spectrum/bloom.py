@@ -1,10 +1,14 @@
 """Device-HBM counting-Bloom spectrum (SURVEY.md §2 #10; DESIGN.md §5).
 
-The "sharded device-HBM counting array" of BASELINE.json: a d-hash counting
-Bloom held as one int32 array in HBM, updated with scatter-adds. Insert uses
-a sort + segment-sum dedup so the final scatter has mostly-unique indices
-(BASELINE.json "JAX segment-sum scatters"), which XLA parallelizes far better
-than a collision-heavy scatter.
+The "sharded device-HBM counting array" of BASELINE.json: ONE logical Bloom
+table segmented by minimizer bucket — every probe of a k-mer lands inside its
+bucket's contiguous segment, so the table can be range-sharded over the mesh
+"bucket" axis (DESIGN.md §12) while its *contents* stay identical for every
+mesh shape (DESIGN.md §13 determinism).
+
+Insert uses a sort + segment-sum dedup so the final scatter has
+mostly-unique indices (BASELINE.json "JAX segment-sum scatters"), which XLA
+parallelizes far better than a collision-heavy scatter.
 
 All functions are pure and jit-safe; the table threads through functionally.
 """
@@ -17,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from kmerax.core.hash import bloom_indices
+from kmerax.core.minimizer import minimizers
 
 COUNT_SATURATE = 1 << 30
 
@@ -24,8 +29,13 @@ COUNT_SATURATE = 1 << 30
 @dataclass(frozen=True)
 class BloomParams:
     k: int
-    log2_width: int
+    log2_width: int                 # GLOBAL table width = 2^log2_width
     num_hashes: int = 4
+    minimizer_m: int = 11
+    log2_buckets: int = 8           # T = 2^log2_buckets segments
+
+    def __post_init__(self):
+        assert self.log2_buckets < self.log2_width <= 31
 
     @property
     def width(self) -> int:
@@ -36,45 +46,60 @@ def make_table(params: BloomParams) -> jnp.ndarray:
     return jnp.zeros(params.width, dtype=jnp.int32)
 
 
-def _flat_probe_increments(params: BloomParams, canon_words, valid):
-    """Flattened (indices, increments) for all probes of all valid k-mers."""
-    idx = bloom_indices(canon_words, params.log2_width, params.num_hashes)
-    inc = jnp.broadcast_to(valid[..., None], idx.shape)
-    return idx.reshape(-1), inc.reshape(-1).astype(jnp.int32)
+def probe_indices(params: BloomParams, canon_words: jnp.ndarray,
+                  buckets: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Global probe indices (..., d); buckets computed if not supplied."""
+    if buckets is None:
+        buckets = (minimizers(canon_words, params.k, params.minimizer_m)
+                   % jnp.uint32(1 << params.log2_buckets))
+    return bloom_indices(canon_words, params.log2_width, params.num_hashes,
+                         buckets, params.log2_buckets)
 
 
-def insert(params: BloomParams, table: jnp.ndarray,
-           canon_words: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Add one batch of canonical k-mers to the table.
+def scatter_add_dedup(table: jnp.ndarray, idx: jnp.ndarray,
+                      inc: jnp.ndarray) -> jnp.ndarray:
+    """sort + segment-sum dedup, then one mostly-unique scatter-add.
 
-    Sort+segment-sum dedups probe indices first: identical probes collapse to
-    one (index, count) pair, then a single scatter-add applies them.
     Commutative integer adds keep this deterministic (SURVEY.md §5 races).
     """
-    idx, inc = _flat_probe_increments(params, canon_words, valid)
-    # push masked-out probes to a dead slot? No: inc==0 contributes nothing,
-    # so they can keep their index — add of 0 is a no-op.
     order = jnp.argsort(idx)
     idx_s = idx[order]
     inc_s = inc[order]
-    # segment boundaries over equal indices
     is_start = jnp.concatenate(
         [jnp.ones(1, dtype=bool), idx_s[1:] != idx_s[:-1]])
     seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    nseg = idx.shape[0]  # upper bound on segments
+    nseg = idx.shape[0]
     sums = jax.ops.segment_sum(inc_s, seg_id, num_segments=nseg)
-    # representative index per segment (first element of each run)
     rep = jax.ops.segment_max(
         jnp.where(is_start, idx_s, -1), seg_id, num_segments=nseg)
     rep = jnp.where(rep < 0, 0, rep)  # empty segments -> slot 0 with sum 0
     return table.at[rep].add(sums, mode="drop")
 
 
+def insert(params: BloomParams, table: jnp.ndarray,
+           canon_words: jnp.ndarray, valid: jnp.ndarray,
+           local_bits: int | None = None) -> jnp.ndarray:
+    """Add one batch of canonical k-mers to the table (or a range shard).
+
+    `local_bits`: when the table is a 2^local_bits range shard (DESIGN.md
+    §12), global indices are masked to shard-local offsets.
+    """
+    idx = probe_indices(params, canon_words)
+    if local_bits is not None:
+        idx = idx & ((1 << local_bits) - 1)
+    inc = jnp.broadcast_to(valid[..., None], idx.shape)
+    return scatter_add_dedup(table, idx.reshape(-1),
+                             inc.reshape(-1).astype(jnp.int32))
+
+
 def query(params: BloomParams, table: jnp.ndarray,
           canon_words: jnp.ndarray,
-          valid: jnp.ndarray | None = None) -> jnp.ndarray:
+          valid: jnp.ndarray | None = None,
+          local_bits: int | None = None) -> jnp.ndarray:
     """count = min over d probes, saturated; invalid lanes -> 0."""
-    idx = bloom_indices(canon_words, params.log2_width, params.num_hashes)
+    idx = probe_indices(params, canon_words)
+    if local_bits is not None:
+        idx = idx & ((1 << local_bits) - 1)
     counts = jnp.min(table[idx], axis=-1)
     counts = jnp.minimum(counts, COUNT_SATURATE)
     if valid is not None:

@@ -55,20 +55,29 @@ class ExactSpectrum:
 
 
 class CountingBloomOracle:
-    """d-hash counting Bloom, double hashing (DESIGN.md §5)."""
+    """d-hash counting Bloom, double-hashed within the k-mer's minimizer
+    bucket segment (DESIGN.md §5)."""
 
-    def __init__(self, k: int, log2_width: int, num_hashes: int = 4):
-        assert log2_width <= 31
+    def __init__(self, k: int, log2_width: int, num_hashes: int = 4,
+                 minimizer_m: int = 11, log2_buckets: int = 8):
+        assert log2_buckets < log2_width <= 31
         self.k = k
         self.width = 1 << log2_width
-        self.mask = self.width - 1
+        self.seg_bits = log2_width - log2_buckets
+        self.seg_mask = (1 << self.seg_bits) - 1
+        self.m = minimizer_m
+        self.nbuckets = 1 << log2_buckets
         self.d = num_hashes
         self.table = np.zeros(self.width, dtype=np.int64)
 
     def _probes(self, canon: int):
+        from oracle.codec import minimizer_of
+        bucket = minimizer_of(canon, self.k, self.m) % self.nbuckets
+        base = bucket << self.seg_bits
         h1 = kmer_hash_int(canon, self.k, HASH_SEED_1)
         h2 = kmer_hash_int(canon, self.k, HASH_SEED_2) | 1
-        return [((h1 + i * h2) & 0xFFFFFFFF) & self.mask for i in range(self.d)]
+        return [base | (((h1 + i * h2) & 0xFFFFFFFF) & self.seg_mask)
+                for i in range(self.d)]
 
     def insert(self, canon: int) -> None:
         for idx in self._probes(canon):
