@@ -1,0 +1,28 @@
+#!/usr/bin/env python
+"""Driver benchmark entry: prints ONE JSON line with the headline metric.
+
+Headline = k-mers/s/chip at k=31 (BASELINE.json:2 counting north-star) on
+whatever accelerator jax.devices() provides (the real v5e chip under the
+driver). vs_baseline is relative to the nominal single-chip target in
+kmerax/bench/runners.py (no published reference numbers exist,
+BASELINE.json:13).
+"""
+
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+
+def main():
+    from kmerax.config import KmeraxConfig
+    from kmerax.bench.runners import bench_count
+
+    cfg = KmeraxConfig(k=31, bloom_log2_width=24)
+    r = bench_count(cfg, n_reads=16384, read_len=150)
+    print(json.dumps({"metric": r["metric"], "value": r["value"],
+                      "unit": r["unit"], "vs_baseline": r["vs_baseline"]}))
+
+
+if __name__ == "__main__":
+    main()
