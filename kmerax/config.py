@@ -61,8 +61,10 @@ class KmeraxConfig:
         nb = self.num_buckets
         if nb & (nb - 1) or nb <= 0:
             raise ValueError("num_buckets must be a power of two")
-        if (nb - 1).bit_length() >= self.bloom_log2_width:
-            raise ValueError("bloom_log2_width must exceed log2(num_buckets)")
+        if (nb - 1).bit_length() > self.bloom_log2_width - 7:
+            raise ValueError(
+                "bloom_log2_width must be >= log2(num_buckets) + 7 "
+                "(128-lane blocks, DESIGN.md §5)")
         mb = self.mesh_bucket
         if mb & (mb - 1) or mb <= 0 or mb > nb:
             raise ValueError("mesh_bucket must be a power of two <= num_buckets")

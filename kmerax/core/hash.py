@@ -35,22 +35,29 @@ def kmer_hash(words: jnp.ndarray, seed: int) -> jnp.ndarray:
     return h
 
 
-def bloom_indices(words: jnp.ndarray, log2_width: int, d: int,
-                  buckets: jnp.ndarray | None = None,
-                  log2_buckets: int = 0) -> jnp.ndarray:
-    """Kirsch–Mitzenmacher double-hashed probe indices (DESIGN.md §5).
+def bloom_blocks_lanes(words: jnp.ndarray, log2_width: int, d: int,
+                       buckets: jnp.ndarray, log2_buckets: int):
+    """Register-blocked Bloom addressing (DESIGN.md §5).
 
-    With `buckets` (the k-mers' minimizer buckets, (...)-shaped) the probes
-    land inside the bucket's contiguous segment of the global table —
-    the property that makes the spectrum bucket-shardable (DESIGN.md §12).
-    Returns (..., d) int32 GLOBAL indices into a 2^log2_width table.
+    Every k-mer maps to ONE 128-lane block inside its minimizer bucket's
+    segment (one vector-register row per k-mer — the TPU-native layout);
+    its d probes are lanes within that block.
+    Returns (block (...) int32 global block index, lanes (..., d) int32).
     """
-    seg_bits = log2_width - log2_buckets
-    mask = _u32((1 << seg_bits) - 1)
+    assert d <= 4
+    seg_blocks_bits = log2_width - 7 - log2_buckets
+    mask = _u32((1 << seg_blocks_bits) - 1)
     h1 = kmer_hash(words, HASH_SEED_1)
-    h2 = kmer_hash(words, HASH_SEED_2) | _u32(1)
-    offs = [(h1 + _u32(i) * h2) & mask for i in range(d)]
-    idx = jnp.stack(offs, axis=-1)
-    if buckets is not None:
-        idx = idx | (buckets.astype(jnp.uint32)[..., None] << seg_bits)
-    return idx.astype(jnp.int32)
+    h2 = kmer_hash(words, HASH_SEED_2)
+    block = (buckets.astype(jnp.uint32) << seg_blocks_bits) | (h1 & mask)
+    lanes = jnp.stack(
+        [(h2 >> (7 * i)) & _u32(127) for i in range(d)], axis=-1)
+    return block.astype(jnp.int32), lanes.astype(jnp.int32)
+
+
+def bloom_indices(words: jnp.ndarray, log2_width: int, d: int,
+                  buckets: jnp.ndarray, log2_buckets: int) -> jnp.ndarray:
+    """Flat global probe indices (..., d) = 128*block + lane (DESIGN.md §5)."""
+    block, lanes = bloom_blocks_lanes(words, log2_width, d,
+                                      buckets, log2_buckets)
+    return (block[..., None] << 7) | lanes

@@ -35,7 +35,8 @@ class BloomParams:
     log2_buckets: int = 8           # T = 2^log2_buckets segments
 
     def __post_init__(self):
-        assert self.log2_buckets < self.log2_width <= 31
+        assert self.log2_buckets <= self.log2_width - 7 <= 31
+        assert self.num_hashes <= 4
 
     @property
     def width(self) -> int:
@@ -54,26 +55,6 @@ def probe_indices(params: BloomParams, canon_words: jnp.ndarray,
                    % jnp.uint32(1 << params.log2_buckets))
     return bloom_indices(canon_words, params.log2_width, params.num_hashes,
                          buckets, params.log2_buckets)
-
-
-def scatter_add_dedup(table: jnp.ndarray, idx: jnp.ndarray,
-                      inc: jnp.ndarray) -> jnp.ndarray:
-    """sort + segment-sum dedup, then one mostly-unique scatter-add.
-
-    Commutative integer adds keep this deterministic (SURVEY.md §5 races).
-    """
-    order = jnp.argsort(idx)
-    idx_s = idx[order]
-    inc_s = inc[order]
-    is_start = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), idx_s[1:] != idx_s[:-1]])
-    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    nseg = idx.shape[0]
-    sums = jax.ops.segment_sum(inc_s, seg_id, num_segments=nseg)
-    rep = jax.ops.segment_max(
-        jnp.where(is_start, idx_s, -1), seg_id, num_segments=nseg)
-    rep = jnp.where(rep < 0, 0, rep)  # empty segments -> slot 0 with sum 0
-    return table.at[rep].add(sums, mode="drop")
 
 
 def insert(params: BloomParams, table: jnp.ndarray,

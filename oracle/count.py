@@ -55,16 +55,16 @@ class ExactSpectrum:
 
 
 class CountingBloomOracle:
-    """d-hash counting Bloom, double-hashed within the k-mer's minimizer
-    bucket segment (DESIGN.md §5)."""
+    """Register-blocked counting Bloom: one 128-lane block per k-mer inside
+    its minimizer-bucket segment, d lanes within the block (DESIGN.md §5)."""
 
     def __init__(self, k: int, log2_width: int, num_hashes: int = 4,
                  minimizer_m: int = 11, log2_buckets: int = 8):
-        assert log2_buckets < log2_width <= 31
+        assert log2_buckets <= log2_width - 7 and log2_width <= 31
+        assert num_hashes <= 4
         self.k = k
         self.width = 1 << log2_width
-        self.seg_bits = log2_width - log2_buckets
-        self.seg_mask = (1 << self.seg_bits) - 1
+        self.seg_blocks_bits = log2_width - 7 - log2_buckets
         self.m = minimizer_m
         self.nbuckets = 1 << log2_buckets
         self.d = num_hashes
@@ -73,10 +73,11 @@ class CountingBloomOracle:
     def _probes(self, canon: int):
         from oracle.codec import minimizer_of
         bucket = minimizer_of(canon, self.k, self.m) % self.nbuckets
-        base = bucket << self.seg_bits
         h1 = kmer_hash_int(canon, self.k, HASH_SEED_1)
-        h2 = kmer_hash_int(canon, self.k, HASH_SEED_2) | 1
-        return [base | (((h1 + i * h2) & 0xFFFFFFFF) & self.seg_mask)
+        h2 = kmer_hash_int(canon, self.k, HASH_SEED_2)
+        block = (bucket << self.seg_blocks_bits) \
+            | (h1 & ((1 << self.seg_blocks_bits) - 1))
+        return [(block << 7) | ((h2 >> (7 * i)) & 127)
                 for i in range(self.d)]
 
     def insert(self, canon: int) -> None:
