@@ -1,0 +1,104 @@
+"""Banded global alignment + seed-extend (SURVEY.md §2 #14; DESIGN.md §10).
+
+The reference's SIMD banded DP becomes a row-iterated band in diagonal
+coordinates, with the within-row gap dependency solved by the max-plus
+prefix-scan identity (linear gap g = -4):
+
+    S[i][j] = max_{j'<=j} ( M[i][j'] - 4*(j-j') )
+            = cummax_j ( M[i][j] + 4*j ) - 4*j
+
+so each DP row is a handful of vectorized ops + one cumulative max over the
+band — no sequential inner loop. Scores are bit-exact vs oracle.align
+(match +2 / mismatch -3 / gap -4, -inf outside the band).
+
+The band fits one vector register row per read (2*band+1 <= 128), so the
+whole batch advances one DP row per loop step on the VPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MATCH, MISMATCH, GAP = 2, -3, -4
+NEG_INF = -(1 << 30)
+
+
+def banded_align_scores(query, target, qlen, tlen, band: int):
+    """Batched banded global alignment scores, bit-exact vs oracle.
+
+    Args:
+      query: (B, n) int32 base codes (>=4 never matches).
+      target: (B, m) int32.
+      qlen / tlen: (B,) int32 true lengths (qlen <= n, tlen <= m).
+      band: static half-width; |i-j| > band cells are unreachable.
+    Returns (B,) int32 scores (oracle NEG_INF when no in-band path exists).
+    """
+    B, n = query.shape
+    m = target.shape[1]
+    W = 2 * band + 1
+    assert W <= 128, "band must fit one vector register row"
+    d_iota = jnp.arange(W, dtype=jnp.int32)           # d = j - i + band
+
+    tl = tlen[:, None]
+    # row 0: S[0][j] = GAP*j for 0 <= j <= min(band, tlen), else -inf
+    j0 = (d_iota - band)[None, :]
+    row0 = jnp.where((j0 >= 0) & (j0 <= tl), GAP * j0, NEG_INF)
+    row0 = jnp.broadcast_to(row0, (B, W)).astype(jnp.int32)
+
+    # tpad[:, i + d] == target[:, j-1] for j = i + d - band
+    # (left pad band+1; right pad so index n + 2*band stays in range)
+    rpad = max(0, n + 2 * band + 1 - (band + 1 + m))
+    tpad = jnp.concatenate(
+        [jnp.full((B, band + 1), 4, jnp.int32), target,
+         jnp.full((B, rpad), 4, jnp.int32)], axis=1)
+
+    def step(i, carry):
+        prev, rows = carry                             # prev: (B, W)
+        tslc = jax.lax.dynamic_slice_in_dim(tpad, i, W, axis=1)
+        qi = jax.lax.dynamic_slice_in_dim(query, i - 1, 1, axis=1)  # (B,1)
+        sub = jnp.where((tslc == qi) & (qi < 4), MATCH, MISMATCH)
+
+        diag = prev + sub                              # S[i-1][j-1]
+        up = jnp.concatenate(
+            [prev[:, 1:], jnp.full((B, 1), NEG_INF, jnp.int32)],
+            axis=1) + GAP                              # S[i-1][j]
+        j = i + d_iota[None, :] - band
+        valid = (j >= 1) & (j <= tl)
+        Mv = jnp.where(valid, jnp.maximum(diag, up), NEG_INF)
+        col0 = jnp.where((j == 0) & (i <= band), GAP * i, NEG_INF)
+        f = jnp.maximum(Mv, col0) - GAP * d_iota[None, :]
+        row = jax.lax.cummax(f, axis=1) + GAP * d_iota[None, :]
+        row = jnp.where(valid | ((j == 0) & (i <= band)), row, NEG_INF)
+        rows = jax.lax.dynamic_update_slice_in_dim(
+            rows, row[:, None, :], i, axis=1)
+        return row, rows
+
+    rows0 = jnp.full((B, n + 1, W), NEG_INF, jnp.int32).at[:, 0, :].set(row0)
+    _, rows = jax.lax.fori_loop(1, n + 1, step, (row0, rows0))
+
+    # final cell: row qlen, d = tlen - qlen + band
+    bidx = jnp.arange(B)
+    dfin = jnp.clip(tlen - qlen + band, 0, W - 1)
+    score = rows[bidx, qlen, dfin]
+    return jnp.where(jnp.abs(tlen - qlen) <= band, score, NEG_INF)
+
+
+def seed_positions(read_canon, read_valid, index_uniq, index_pos):
+    """First-seed lookup: for each read, the first valid k-mer with an exact
+    hit in the target k-mer index (SURVEY.md §3.3 "seed-extend").
+
+    read_canon: (B, nk, W) canonical k-mer words; read_valid: (B, nk).
+    index_uniq: (M, W) sorted canonical target k-mers (sentinel padded);
+    index_pos: (M,) int32 payload (e.g. target_id << 20 | position).
+    Returns (read_offset (B,), payload (B,), found (B,)).
+    """
+    from kmerax.spectrum.exact import searchsorted_words
+
+    idx, found = searchsorted_words(index_uniq, read_canon)
+    found = found & read_valid
+    first = jnp.argmax(found, axis=1).astype(jnp.int32)
+    any_hit = jnp.any(found, axis=1)
+    hit_idx = jnp.take_along_axis(idx, first[:, None], axis=1)[:, 0]
+    payload = jnp.where(any_hit, index_pos[hit_idx], -1)
+    return first, payload, any_hit

@@ -1,0 +1,109 @@
+"""Two-pass correct+assemble pipeline (BASELINE.md config 5; SURVEY.md §3.4).
+
+Pass 1: count at k -> correct reads.  Pass 2: re-count corrected reads at k2
+-> unitig assembly.  With a `workdir`, every stage checkpoints (spectrum dirs
++ done-markers) and a crashed run resumes from the last complete stage,
+re-executing unfinished stages only (SURVEY.md §5 failure recovery); resume
+output is bit-identical to an uninterrupted run (tested).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from kmerax.config import KmeraxConfig
+from kmerax.pipeline.checkpoint import load_spectrum, save_spectrum
+from kmerax.pipeline.run import CountState, run_correct, run_count
+from kmerax.utils.logging import get_logger
+from kmerax.utils.metrics import MetricsWriter
+
+log = get_logger("kmerax.twopass")
+
+
+def _marker(workdir: str, stage: str) -> str:
+    return os.path.join(workdir, f"{stage}.done")
+
+
+def _is_done(workdir: Optional[str], stage: str) -> bool:
+    return workdir is not None and os.path.exists(_marker(workdir, stage))
+
+
+def _mark_done(workdir: Optional[str], stage: str) -> None:
+    if workdir is not None:
+        tmp = _marker(workdir, stage) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("complete\n")
+        os.replace(tmp, _marker(workdir, stage))
+
+
+def _count_stage(cfg: KmeraxConfig, paths, workdir, stage: str,
+                 m: MetricsWriter) -> CountState:
+    """run_count with spectrum checkpointing + resume."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    spec_dir = workdir and os.path.join(workdir, stage)
+    if _is_done(workdir, stage):
+        manifest, arrays = load_spectrum(spec_dir)
+        if manifest is not None:
+            log.info("%s: resumed from checkpoint", stage)
+            exact = None
+            if "exact_uniq" in arrays:
+                exact = (jnp.asarray(arrays["exact_uniq"]),
+                         jnp.asarray(arrays["exact_counts"]),
+                         jnp.asarray(arrays["exact_n"]))
+            return CountState(
+                cfg, jnp.asarray(arrays["bloom_table"]), exact,
+                arrays.get("hist"), manifest["threshold"],
+                manifest.get("n_reads", 0), manifest.get("n_kmers", 0))
+    state = run_count(cfg, paths, metrics=m)
+    if workdir is not None:
+        save_spectrum(spec_dir, cfg, bloom_table=state.bloom_table,
+                      exact=state.exact, threshold=state.threshold,
+                      hist=state.hist, stage=stage,
+                      extra={"n_reads": state.n_reads,
+                             "n_kmers": state.n_kmers})
+        _mark_done(workdir, stage)
+    return state
+
+
+def run_two_pass(cfg: KmeraxConfig, paths, out_fastq: str,
+                 out_fasta: Optional[str] = None,
+                 metrics_path: Optional[str] = None,
+                 workdir: Optional[str] = None) -> dict:
+    if not cfg.k2:
+        raise ValueError("two-pass mode needs cfg.k2 set")
+    if workdir is not None:
+        os.makedirs(workdir, exist_ok=True)
+    m = MetricsWriter(metrics_path)
+
+    # pass 1: count at k, correct
+    state1 = _count_stage(cfg, paths, workdir, "count_k1", m)
+    if _is_done(workdir, "correct") and os.path.exists(out_fastq):
+        log.info("correct: resumed (output exists)")
+        stats = {"reads": state1.n_reads, "resumed": True}
+    else:
+        stats = run_correct(cfg, paths, state1, out_fastq, metrics=m)
+        _mark_done(workdir, "correct")
+
+    result = {"threshold_k1": state1.threshold, **stats}
+
+    # pass 2: count corrected reads at k2, assemble
+    cfg2 = cfg.replace(k=cfg.k2, k2=0)
+    state2 = _count_stage(cfg2, [out_fastq], workdir, "count_k2", m)
+    result["threshold_k2"] = state2.threshold
+    if out_fasta is not None:
+        from kmerax.graph import assemble_to_fasta
+        if _is_done(workdir, "assemble") and os.path.exists(out_fasta):
+            log.info("assemble: resumed (output exists)")
+            with open(out_fasta) as f:
+                result["unitigs"] = sum(1 for ln in f if ln.startswith(">"))
+        else:
+            m.stage_start("assemble")
+            n = assemble_to_fasta(cfg2, state2, out_fasta)
+            m.stage_end("assemble", unitigs=n)
+            _mark_done(workdir, "assemble")
+            result["unitigs"] = n
+    m.close()
+    return result

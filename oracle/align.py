@@ -37,6 +37,8 @@ def banded_align(query, target, band: int = 15):
                 best = S[i][j - 1] + GAP
             S[i][j] = best
     score = int(S[n][m])
+    if score < NEG_INF // 2:     # no in-band path: no transcript
+        return score, ""
     # traceback (diag > up > left)
     i, j = n, m
     ops = []
