@@ -46,10 +46,22 @@ def _pack(records: list[FastqRecord], batch_size: int, max_len: int,
     return ReadBatch(bases, lengths, len(records), records, index0)
 
 
-def batch_reads(paths, batch_size: int, max_len: int):
-    """Synchronous batch iterator over one or more FASTQ files."""
+def batch_reads(paths, batch_size: int, max_len: int,
+                use_native: bool | None = None):
+    """Synchronous batch iterator over one or more FASTQ files.
+
+    Dispatches to the C++ chunk parser (kmerax/io/_fastq_ext.cc) when it is
+    available; behavior is identical (tested byte-for-byte) except that
+    native FastqRecords carry an empty `seq` (bases are authoritative).
+    """
     if isinstance(paths, str):
         paths = [paths]
+    if use_native is None:
+        from kmerax.io.native import get_lib
+        use_native = get_lib() is not None
+    if use_native:
+        yield from _batch_reads_native(paths, batch_size, max_len)
+        return
     buf: list[FastqRecord] = []
     idx0 = 0
     for p in paths:
@@ -61,6 +73,65 @@ def batch_reads(paths, batch_size: int, max_len: int):
                 buf = []
     if buf:
         yield _pack(buf, batch_size, max_len, idx0)
+
+
+_NATIVE_CHUNK = 8 << 20
+
+
+def _batch_reads_native(paths, batch_size: int, max_len: int):
+    """C++ fast path: chunked parse -> accumulated arrays -> fixed batches."""
+    from kmerax.io.fastq import _open_r
+    from kmerax.io.native import parse_chunk
+
+    pend_bases, pend_lens, pend_recs, npend = [], [], [], 0
+    idx0 = 0
+
+    def emit(final: bool):
+        nonlocal pend_bases, pend_lens, pend_recs, npend, idx0
+        while npend >= batch_size or (final and npend > 0):
+            take = min(npend, batch_size)
+            allb = np.concatenate(pend_bases) if len(pend_bases) > 1 \
+                else pend_bases[0]
+            alll = np.concatenate(pend_lens) if len(pend_lens) > 1 \
+                else pend_lens[0]
+            bases = np.full((batch_size, max_len), 4, dtype=np.int32)
+            bases[:take] = allb[:take]
+            lengths = np.zeros(batch_size, dtype=np.int32)
+            lengths[:take] = alll[:take]
+            yield ReadBatch(bases, lengths, take, pend_recs[:take], idx0)
+            idx0 += take
+            pend_bases = [allb[take:]] if take < len(allb) else []
+            pend_lens = [alll[take:]] if take < len(alll) else []
+            pend_recs = pend_recs[take:]
+            npend -= take
+
+    for p in paths:
+        with _open_r(p) as f:
+            tail = b""
+            eof = False
+            while not eof:
+                chunk = f.read(_NATIVE_CHUNK)
+                if not chunk:
+                    eof = True
+                    if not tail:
+                        break
+                    if not tail.endswith(b"\n"):
+                        tail += b"\n"
+                buf = tail + chunk
+                cap = buf.count(b"\n") // 4 + 1
+                bases, lengths, names, quals, consumed = parse_chunk(
+                    buf, cap, max_len)
+                tail = buf[consumed:]
+                if eof and tail:
+                    raise ValueError(f"{p}: truncated FASTQ record")
+                if len(bases):
+                    pend_bases.append(bases.astype(np.int32))
+                    pend_lens.append(lengths)
+                    pend_recs.extend(
+                        FastqRecord(n, b"", q) for n, q in zip(names, quals))
+                    npend += len(bases)
+                    yield from emit(final=False)
+    yield from emit(final=True)
 
 
 class BackgroundBatcher:
