@@ -28,7 +28,10 @@ NOMINAL_READS_PER_S = 2.0e5     # correction, PE150-like reads
 
 
 def _sim_batch(n_reads: int, read_len: int, seed: int = 0,
-               error_rate: float = 0.01, genome_len: int = 1 << 20):
+               error_rate: float = 0.01, genome_len: int = 1 << 17):
+    # default genome gives ~19-38x coverage per batch — matches the
+    # acceptance configs (BASELINE.md 30-80x), so correction solidity is
+    # realistic rather than all-weak.
     rng = np.random.default_rng(seed)
     genome = rng.integers(0, 4, genome_len).astype(np.uint8)
     starts = rng.integers(0, genome_len - read_len, n_reads)

@@ -55,7 +55,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("correct", help="error-correct reads")
     _add_common(p)
     p.add_argument("--in", dest="inputs", nargs="+", required=True)
-    p.add_argument("--out", required=True, help="corrected FASTQ path")
+    p.add_argument("--out", required=True, nargs="+",
+                   help="corrected FASTQ path(s); give one per input for "
+                        "paired-end R1/R2 outputs")
     p.add_argument("--spectrum", help="spectrum dir from `count` (else counts first)")
     p.add_argument("--use-exact", action="store_true",
                    help="query the exact spectrum instead of the Bloom")
@@ -103,7 +105,8 @@ def main(argv=None) -> int:
         from kmerax.utils.metrics import MetricsWriter
         m = MetricsWriter(args.metrics)
         state = _load_or_count(cfg, args, m)
-        stats = run_correct(cfg, args.inputs, state, args.out, metrics=m,
+        out = args.out if len(args.out) > 1 else args.out[0]
+        stats = run_correct(cfg, args.inputs, state, out, metrics=m,
                             use_exact=args.use_exact)
         print(json.dumps({"threshold": state.threshold, **stats}))
 

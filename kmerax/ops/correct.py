@@ -14,6 +14,7 @@ without changing results.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from kmerax.core.codec import canonical_words
@@ -145,20 +146,42 @@ def correct_batch(bases, lengths, k: int, t: int, query_fn,
     edits = jnp.zeros(B, dtype=jnp.int32)
     done = last_j < 0                          # reads shorter than k
 
-    for _ in range(rounds):
+    def round_body(args):
+        bases, edits, done = args
         solid, existing = _window_counts(bases, last_j, k, t, query_fn)
         all_solid = jnp.all(solid | ~existing, axis=1)
         any_solid = jnp.any(solid, axis=1)
         done = done | all_solid | ~any_solid
         active = ~done
         cands = _weak_run_candidates(solid, existing, last_j, k, max_runs)
-        made_edit = jnp.zeros(B, dtype=bool)
-        for c in range(cands.shape[1]):
-            bases, acc = _eval_candidate(
-                bases, lengths, last_j, cands[:, c], active, k, t, query_fn)
-            edits = edits + acc.astype(jnp.int32)
-            made_edit = made_edit | acc
+
+        def slot(carry, cand_col):
+            bases, edits, made = carry
+
+            def run(args):
+                bases, edits, made = args
+                b2, acc = _eval_candidate(
+                    bases, lengths, last_j, cand_col, active, k, t, query_fn)
+                return b2, edits + acc.astype(jnp.int32), made | acc
+
+            # a slot with no live candidate is the identity — skip it
+            # (lax.cond; exactness unaffected, big win on real batches where
+            # few reads have many weak runs)
+            bases, edits, made = jax.lax.cond(
+                jnp.any(active & (cand_col >= 0)), run,
+                lambda args: args, (bases, edits, made))
+            return (bases, edits, made), None
+
+        (bases, edits, made_edit), _ = jax.lax.scan(
+            slot, (bases, edits, jnp.zeros(B, dtype=bool)),
+            jnp.transpose(cands))
         done = done | ~made_edit
+        return bases, edits, done
+
+    for _ in range(rounds):
+        # skip whole rounds once every read is done (exactness unaffected)
+        bases, edits, done = jax.lax.cond(
+            jnp.any(~done), round_body, lambda a: a, (bases, edits, done))
 
     revert = edits > max_edits
     bases = jnp.where(revert[:, None], orig, bases)

@@ -30,6 +30,7 @@ from kmerax.spectrum.exact import (
 from kmerax.spectrum.histogram import count_histogram, solid_threshold
 from kmerax.utils.logging import get_logger
 from kmerax.utils.metrics import MetricsWriter
+from kmerax.utils.tracing import maybe_trace
 
 log = get_logger("kmerax.pipeline")
 
@@ -111,15 +112,17 @@ def run_count(cfg: KmeraxConfig, paths, k: Optional[int] = None,
 
     n_reads = n_kmers = 0
     m.stage_start("count")
-    for batch in BackgroundBatcher(paths, cfg.batch_reads, cfg.max_read_len):
-        bases = jnp.asarray(batch.bases)
-        table, nk = bloom_step(table, bases)
-        if exact is not None:
-            bu, bc, _ = exact_batch(bases)
-            uniq, counts, n = exact_merge(exact[0], exact[1], bu, bc)
-            exact = (uniq, counts, n)
-        n_reads += batch.n
-        n_kmers += int(nk)
+    with maybe_trace("count"):
+        for batch in BackgroundBatcher(paths, cfg.batch_reads,
+                                       cfg.max_read_len):
+            bases = jnp.asarray(batch.bases)
+            table, nk = bloom_step(table, bases)
+            if exact is not None:
+                bu, bc, _ = exact_batch(bases)
+                uniq, counts, n = exact_merge(exact[0], exact[1], bu, bc)
+                exact = (uniq, counts, n)
+            n_reads += batch.n
+            n_kmers += int(nk)
     if exact is not None:
         n_unique = int(exact[2])
         if n_unique >= cfg.exact_capacity:
@@ -228,21 +231,34 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
                              rounds=cfg.rounds, max_runs=cfg.max_runs,
                              max_edits=cfg.max_edits)
 
+    if isinstance(paths, str):
+        paths = [paths]
+    # paired-end / per-file outputs: a list of out paths (one per input,
+    # e.g. R1/R2 of DNBSEQ pairs) corrects each file to its own output.
+    if isinstance(out_path, (list, tuple)):
+        if len(out_path) != len(paths):
+            raise ValueError("need one --out per input file")
+        groups = [([p], o) for p, o in zip(paths, out_path)]
+    else:
+        groups = [(paths, out_path)]
+
     n_reads = n_edited = n_edits = 0
     m.stage_start("correct")
-    with FastqWriter(out_path) as out:
-        for batch in BackgroundBatcher(paths, cfg.batch_reads,
-                                       cfg.max_read_len):
-            fixed, ne = step(jnp.asarray(batch.bases),
-                             jnp.asarray(batch.lengths))
-            fixed = np.asarray(fixed)
-            ne = np.asarray(ne)
-            for i in range(batch.n):
-                rec = batch.records[i]
-                out.write_record(rec, fixed[i, :batch.lengths[i]])
-            n_reads += batch.n
-            n_edited += int((ne[:batch.n] > 0).sum())
-            n_edits += int(ne[:batch.n].sum())
+    with maybe_trace("correct"):
+        for gpaths, gout in groups:
+            with FastqWriter(gout) as out:
+                for batch in BackgroundBatcher(gpaths, cfg.batch_reads,
+                                               cfg.max_read_len):
+                    fixed, ne = step(jnp.asarray(batch.bases),
+                                     jnp.asarray(batch.lengths))
+                    fixed = np.asarray(fixed)
+                    ne = np.asarray(ne)
+                    for i in range(batch.n):
+                        rec = batch.records[i]
+                        out.write_record(rec, fixed[i, :batch.lengths[i]])
+                    n_reads += batch.n
+                    n_edited += int((ne[:batch.n] > 0).sum())
+                    n_edits += int(ne[:batch.n].sum())
     stats = {"reads": n_reads, "edited_reads": n_edited, "edits": n_edits}
     m.stage_end("correct", **stats)
     log.info("correct: %s", stats)

@@ -83,7 +83,13 @@ def query(params: BloomParams, table: jnp.ndarray,
           canon_words: jnp.ndarray,
           valid: jnp.ndarray | None = None,
           local_bits: int | None = None) -> jnp.ndarray:
-    """count = min over d probes, saturated; invalid lanes -> 0."""
+    """count = min over d probes, saturated; invalid lanes -> 0.
+
+    All d probes share the k-mer's 128-lane block (DESIGN.md §5), so the 4
+    flat gathers hit one cache line; a measured row-gather variant
+    (one (..,128) gather + lane select) was 2x slower in XLA — revisit in a
+    fused Pallas correction kernel.
+    """
     idx = probe_indices(params, canon_words)
     if local_bits is not None:
         idx = idx & ((1 << local_bits) - 1)

@@ -88,3 +88,36 @@ def ecoli_like(seed: int = 7, genome_len: int = 20_000, coverage: int = 40,
     n_reads = genome_len * coverage // read_len
     reads = simulate_reads(genome, n_reads, read_len, error_rate, seed=seed + 1)
     return genome, reads
+
+
+def simulate_pairs(genome: np.ndarray, n_pairs: int, read_len: int,
+                   error_rate: float, seed: int = 0,
+                   insert_mean: int = 300, insert_sd: int = 30,
+                   name_prefix: str = "SIM"):
+    """DNBSEQ-like paired-end reads: R1 forward from the fragment start, R2
+    reverse-complement from the fragment end; names `.../1` and `.../2`.
+    Returns (r1 list, r2 list) of SimRead."""
+    rng = np.random.default_rng(seed)
+    G = len(genome)
+    r1s, r2s = [], []
+    for i in range(n_pairs):
+        ins = int(np.clip(rng.normal(insert_mean, insert_sd),
+                          2 * read_len, G))
+        pos = int(rng.integers(0, G - ins + 1))
+        frag = genome[pos:pos + ins]
+        mates = []
+        for mate, true in ((1, frag[:read_len].copy()),
+                           (2, revcomp_bases(frag[-read_len:]).copy())):
+            b = true.copy()
+            errs = rng.random(read_len) < error_rate
+            if errs.any():
+                shifts = rng.integers(1, 4, size=read_len).astype(np.uint8)
+                b = np.where(errs, (b + shifts) % 4, b).astype(np.uint8)
+            qual = "".join(chr(33 + int(q))
+                           for q in rng.integers(30, 40, read_len))
+            mates.append(SimRead(
+                f"{name_prefix}L1C001R{i:09d}/{mate}", b, qual, true,
+                pos, 0 if mate == 1 else 1))
+        r1s.append(mates[0])
+        r2s.append(mates[1])
+    return r1s, r2s
