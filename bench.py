@@ -15,6 +15,8 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 
 def main():
+    from kmerax.utils.compile_cache import enable
+    enable()
     from kmerax.config import KmeraxConfig
     from kmerax.bench.runners import bench_count
 

@@ -84,6 +84,9 @@ def main(argv=None) -> int:
     p.add_argument("--reads", type=int, default=20000)
 
     args = ap.parse_args(argv)
+
+    from kmerax.utils.compile_cache import enable as _enable_cache
+    _enable_cache()
     cfg = _cfg(args)
 
     if args.cmd == "count":

@@ -179,9 +179,11 @@ def correct_batch(bases, lengths, k: int, t: int, query_fn,
         return bases, edits, done
 
     for _ in range(rounds):
-        # skip whole rounds once every read is done (exactness unaffected)
-        bases, edits, done = jax.lax.cond(
-            jnp.any(~done), round_body, lambda a: a, (bases, edits, done))
+        # NOTE: wrapping whole rounds in lax.cond exploded the TPU remote
+        # compile (>40 min); slot-level conds already skip all per-candidate
+        # work, so rounds run unconditionally (the residual cost is one
+        # window query).
+        bases, edits, done = round_body((bases, edits, done))
 
     revert = edits > max_edits
     bases = jnp.where(revert[:, None], orig, bases)
