@@ -65,18 +65,47 @@ def insert(params: BloomParams, table: jnp.ndarray,
     `local_bits`: when the table is a 2^local_bits range shard (DESIGN.md
     §12), global indices are masked to shard-local offsets.
 
-    Invalid lanes scatter to a dropped out-of-range slot, so increments are
-    constant 1 and the table result is order-independent (commutative adds).
-    Profiled on v5e: a direct scatter beats the sort+segment-sum dedup ~5x
-    in XLA; the Pallas bucket-segment kernel (ops/count_scatter) replaces
-    this on TPU for the speed-of-light path.
+    All d probes live in one 128-lane block (DESIGN.md §5), so the insert is
+    ONE vectorized row scatter-add per k-mer: build the d-lane one-hot row
+    and `table2d.at[block].add(row)`. Measured 2x the scalar-probe scatter
+    on v5e, bit-identical result (commutative adds; invalid k-mers scatter
+    to a dropped out-of-range block).
     """
-    idx = probe_indices(params, canon_words)
+    from kmerax.core.hash import bloom_blocks_lanes
+    from kmerax.core.minimizer import minimizers
+
+    d = params.num_hashes
+    buckets = (minimizers(canon_words, params.k, params.minimizer_m)
+               % jnp.uint32(1 << params.log2_buckets))
+    block, lanes = bloom_blocks_lanes(
+        canon_words, params.log2_width, d, buckets, params.log2_buckets)
     if local_bits is not None:
-        idx = idx & ((1 << local_bits) - 1)
-    dead = table.shape[0]
-    idx = jnp.where(valid[..., None], idx, dead)
-    return table.at[idx.reshape(-1)].add(1, mode="drop")
+        block = block & ((1 << (local_bits - 7)) - 1)
+    nrows = table.shape[0] // 128
+    block = jnp.where(valid, block, nrows)            # dropped
+    fb = block.reshape(-1)
+    fl = lanes.reshape(-1, d)
+    n = fb.shape[0]
+    table2d = table.reshape(nrows, 128)
+    pos = jnp.arange(128, dtype=jnp.int32)[None, :]
+
+    CHUNK = 1 << 18
+    if n <= CHUNK:
+        oh = sum((fl[:, j:j + 1] == pos).astype(jnp.int32) for j in range(d))
+        return table2d.at[fb].add(oh, mode="drop").reshape(-1)
+
+    pad = (-n) % CHUNK
+    fb = jnp.concatenate([fb, jnp.full(pad, nrows, jnp.int32)])
+    fl = jnp.concatenate([fl, jnp.zeros((pad, d), jnp.int32)])
+
+    def body(i, t):
+        b = jax.lax.dynamic_slice(fb, (i * CHUNK,), (CHUNK,))
+        l = jax.lax.dynamic_slice(fl, (i * CHUNK, 0), (CHUNK, d))
+        oh = sum((l[:, j:j + 1] == pos).astype(jnp.int32) for j in range(d))
+        return t.at[b].add(oh, mode="drop")
+
+    table2d = jax.lax.fori_loop(0, (n + pad) // CHUNK, body, table2d)
+    return table2d.reshape(-1)
 
 
 def query(params: BloomParams, table: jnp.ndarray,
