@@ -155,21 +155,37 @@ def correct_batch(bases, lengths, k: int, t: int, query_fn,
         active = ~done
         cands = _weak_run_candidates(solid, existing, last_j, k, max_runs)
 
+        cap = max(1, B // 8)
+
         def slot(carry, cand_col):
             bases, edits, made = carry
+            live = active & (cand_col >= 0)
+            n_live = jnp.sum(live.astype(jnp.int32))
 
-            def run(args):
+            def full(args):
                 bases, edits, made = args
                 b2, acc = _eval_candidate(
                     bases, lengths, last_j, cand_col, active, k, t, query_fn)
                 return b2, edits + acc.astype(jnp.int32), made | acc
 
-            # a slot with no live candidate is the identity — skip it
-            # (lax.cond; exactness unaffected, big win on real batches where
-            # few reads have many weak runs)
+            def compact(args):
+                # few live reads: gather them into a B/8 sub-batch, evaluate
+                # identically, scatter back — per-read math is unchanged, so
+                # results stay bit-exact (oracle-verified).
+                bases, edits, made = args
+                sel = jnp.argsort(~live, stable=True)[:cap]
+                b2, acc = _eval_candidate(
+                    bases[sel], lengths[sel], last_j[sel], cand_col[sel],
+                    live[sel], k, t, query_fn)
+                return (bases.at[sel].set(b2),
+                        edits.at[sel].add(acc.astype(jnp.int32)),
+                        made.at[sel].set(made[sel] | acc))
+
+            def some(args):
+                return jax.lax.cond(n_live <= cap, compact, full, args)
+
             bases, edits, made = jax.lax.cond(
-                jnp.any(active & (cand_col >= 0)), run,
-                lambda args: args, (bases, edits, made))
+                n_live > 0, some, lambda a: a, (bases, edits, made))
             return (bases, edits, made), None
 
         (bases, edits, made_edit), _ = jax.lax.scan(
