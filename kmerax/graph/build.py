@@ -24,26 +24,37 @@ def shift_append_base(words: jnp.ndarray, b: int, k: int) -> jnp.ndarray:
     return jnp.concatenate([x[..., :-1], x[..., -1:] & mask], axis=-1)
 
 
-def build_edges(uniq: jnp.ndarray, solid: jnp.ndarray, k: int):
+def build_edges(uniq: jnp.ndarray, solid: jnp.ndarray, k: int,
+                rows: jnp.ndarray | None = None):
     """Edge structure of the solid-kmer dBG.
 
     Args:
       uniq: (C, W) sorted unique canonical k-mers (sentinel padded).
       solid: (C,) bool — node mask (count >= t).
-    Returns dict of (C, 2)-shaped arrays over orientations o∈{0=+,1=-}:
+      rows: optional (n,) node ids to build edges FOR (the distributed path
+        shards rows across devices); default all C rows.
+    Returns dict of (n, 2)-shaped arrays over orientations o∈{0=+,1=-}:
       succ_v / succ_o: unique out-edge target (undefined unless outdeg==1),
       outdeg: int32, internal: bool (DESIGN.md §9 unitig-internal rule).
+      The `internal` flag here uses only local+target outdegree and is
+      finalized by the caller when rows are sharded.
     """
     C, W = uniq.shape
-    rows = jnp.arange(C, dtype=jnp.int32)
-    orientations = [uniq, revcomp_words(uniq, k)]
+    full_rows = rows is None
+    if full_rows:
+        rows = jnp.arange(C, dtype=jnp.int32)
+        my = uniq
+    else:
+        my = uniq[rows]
+    orientations = [my, revcomp_words(my, k)]
 
     outdeg = []
     succ_v, succ_o = [], []
+    n = rows.shape[0]
     for o, f in enumerate(orientations):
-        exists_any = jnp.zeros(C, dtype=jnp.int32)
-        v_sel = jnp.zeros(C, dtype=jnp.int32)
-        o_sel = jnp.zeros(C, dtype=jnp.int32)
+        exists_any = jnp.zeros(n, dtype=jnp.int32)
+        v_sel = jnp.zeros(n, dtype=jnp.int32)
+        o_sel = jnp.zeros(n, dtype=jnp.int32)
         for b in range(4):
             wext = shift_append_base(f, b, k)
             cw, is_fwd = canonical_words(wext, k)
@@ -57,13 +68,24 @@ def build_edges(uniq: jnp.ndarray, solid: jnp.ndarray, k: int):
         succ_v.append(v_sel)
         succ_o.append(o_sel)
 
-    outdeg = jnp.stack(outdeg, axis=1)        # (C, 2)
+    outdeg = jnp.stack(outdeg, axis=1)        # (n, 2)
     succ_v = jnp.stack(succ_v, axis=1)
     succ_o = jnp.stack(succ_o, axis=1)
+    edges = {"succ_v": succ_v, "succ_o": succ_o, "outdeg": outdeg}
+    if full_rows:
+        # single-device path: the local table IS the full table
+        edges["internal"] = finalize_internal(
+            outdeg, outdeg, succ_v, succ_o, rows, solid)
+    return edges
 
-    # internal: outdeg(u,o)==1 & outdeg(v, 1-o')==1 & v!=u & solid(u)
-    tgt_back = outdeg[succ_v, 1 - succ_o]     # (C, 2)
-    internal = ((outdeg == 1) & (tgt_back == 1)
-                & (succ_v != rows[:, None]) & solid[:, None])
-    return {"succ_v": succ_v, "succ_o": succ_o,
-            "outdeg": outdeg, "internal": internal}
+
+def finalize_internal(outdeg_local, outdeg_full, succ_v, succ_o,
+                      rows, solid_local):
+    """internal: outdeg(u,o)==1 & outdeg(v,¬o')==1 & v!=u & solid(u).
+
+    Target outdegree comes from the FULL table — in the distributed path
+    the per-shard outdegrees are all-gathered first (collective join).
+    """
+    tgt_back = outdeg_full[succ_v, 1 - succ_o]
+    return ((outdeg_local == 1) & (tgt_back == 1)
+            & (succ_v != rows[:, None]) & solid_local[:, None])

@@ -27,8 +27,14 @@ def unitig_arrays(uniq: jnp.ndarray, solid: jnp.ndarray, k: int):
       active (participates in a chain), last_base (appended base, int32),
       plus the edge dict from build_edges.
     """
-    C = uniq.shape[0]
     edges = build_edges(uniq, solid, k)
+    return chains_from_edges(uniq, solid, edges, k)
+
+
+def chains_from_edges(uniq, solid, edges, k: int):
+    """Pointer-doubling chain decomposition given full edge arrays (shared by
+    the single-device and distributed graph paths)."""
+    C = uniq.shape[0]
     enc_self = jnp.arange(2 * C, dtype=jnp.int32)
 
     internal = edges["internal"].reshape(-1)            # (2C,) [u*2+o]
