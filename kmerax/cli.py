@@ -82,6 +82,11 @@ def main(argv=None) -> int:
     p.add_argument("--preset", default="count",
                    choices=["count", "correct", "e2e"])
     p.add_argument("--reads", type=int, default=20000)
+    p.add_argument("--acceptance", type=int, default=None, metavar="N",
+                   help="run BASELINE.md acceptance config N (1-5) "
+                        "end-to-end on simulated data")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="genome scale factor for --acceptance")
 
     args = ap.parse_args(argv)
 
@@ -134,8 +139,12 @@ def main(argv=None) -> int:
         print(json.dumps(result))
 
     elif args.cmd == "bench":
-        from kmerax.bench.runners import run_preset
-        print(json.dumps(run_preset(args.preset, cfg, n_reads=args.reads)))
+        if args.acceptance is not None:
+            from kmerax.bench.acceptance import run_config
+            print(json.dumps(run_config(args.acceptance, scale=args.scale)))
+        else:
+            from kmerax.bench.runners import run_preset
+            print(json.dumps(run_preset(args.preset, cfg, n_reads=args.reads)))
 
     return 0
 

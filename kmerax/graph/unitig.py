@@ -137,17 +137,20 @@ def emit_unitigs(uniq_np: np.ndarray, arrays: dict, k: int) -> list[str]:
 
 
 def assemble_to_fasta(cfg, state, out_fasta: str,
-                      corrected_fastq: str | None = None) -> int:
+                      corrected_fastq=None) -> int:
     """Assemble stage: exact spectrum -> unitig FASTA (SURVEY.md §3.3).
 
-    If corrected_fastq is given, the spectrum is re-counted from it first
-    (the pipeline assembles corrected reads, BASELINE.json:5).
+    If corrected_fastq (path or list of paths, e.g. paired-end R1/R2) is
+    given, the spectrum is re-counted from it first (the pipeline assembles
+    corrected reads, BASELINE.json:5).
     """
     from kmerax.io.fasta import write_fasta
     from kmerax.pipeline.run import run_count
 
     if corrected_fastq is not None:
-        state = run_count(cfg, [corrected_fastq])
+        paths = ([corrected_fastq] if isinstance(corrected_fastq, str)
+                 else list(corrected_fastq))
+        state = run_count(cfg, paths)
     if state.exact is None:
         raise ValueError("assembly needs exact_spectrum=True")
     uniq, counts, _ = state.exact

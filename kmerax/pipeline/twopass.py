@@ -77,10 +77,13 @@ def run_two_pass(cfg: KmeraxConfig, paths, out_fastq: str,
     if workdir is not None:
         os.makedirs(workdir, exist_ok=True)
     m = MetricsWriter(metrics_path)
+    # out_fastq may be a list (paired-end R1/R2 per-file outputs)
+    out_list = [out_fastq] if isinstance(out_fastq, str) else list(out_fastq)
 
     # pass 1: count at k, correct
     state1 = _count_stage(cfg, paths, workdir, "count_k1", m)
-    if _is_done(workdir, "correct") and os.path.exists(out_fastq):
+    if _is_done(workdir, "correct") and all(os.path.exists(p)
+                                            for p in out_list):
         log.info("correct: resumed (output exists)")
         stats = {"reads": state1.n_reads, "resumed": True}
     else:
@@ -91,7 +94,7 @@ def run_two_pass(cfg: KmeraxConfig, paths, out_fastq: str,
 
     # pass 2: count corrected reads at k2, assemble
     cfg2 = cfg.replace(k=cfg.k2, k2=0)
-    state2 = _count_stage(cfg2, [out_fastq], workdir, "count_k2", m)
+    state2 = _count_stage(cfg2, out_list, workdir, "count_k2", m)
     result["threshold_k2"] = state2.threshold
     if out_fasta is not None:
         from kmerax.graph import assemble_to_fasta

@@ -1,0 +1,37 @@
+"""Acceptance-matrix harness smoke (BASELINE.md configs; kmerax/bench/
+acceptance.py). Tiny scale-downs on the 8-virtual-device CPU backend:
+config 1 (count+correct), 3 (assemble), 4 (2x2 sharded mesh), 5 (two-pass).
+Asserts the pipeline runs end-to-end and correction strictly helps
+(positive gain, nothing catastrophic introduced)."""
+
+import pytest
+
+from kmerax.bench.acceptance import CONFIGS, run_config
+
+
+@pytest.mark.parametrize("n", [1, 4])
+def test_correct_configs_run_and_help(tmp_path, n):
+    rep = run_config(n, scale=0.05, workdir=str(tmp_path / f"acc{n}"))
+    assert rep["reads"] > 0
+    acc = rep["accuracy"]
+    assert acc["errors_before"] > 0
+    assert acc["gain"] > 0.5, acc
+    if n == 4:
+        assert rep["mesh"] == [2, 2]  # the sharded path actually ran
+
+
+def test_assemble_config_emits_contigs(tmp_path):
+    rep = run_config(3, scale=0.04, workdir=str(tmp_path / "acc3"))
+    assert rep.get("unitigs", 0) > 0
+    assert rep["accuracy"]["gain"] > 0.5
+
+
+def test_twopass_config(tmp_path):
+    rep = run_config(5, scale=0.03, workdir=str(tmp_path / "acc5"))
+    assert rep.get("unitigs", 0) > 0
+    assert rep["accuracy"]["gain"] > 0.3
+
+
+def test_specs_documented():
+    for n, spec in CONFIGS.items():
+        assert spec.note and spec.full_genome_len > spec.genome_len
