@@ -87,6 +87,12 @@ def main(argv=None) -> int:
                         "end-to-end on simulated data")
     p.add_argument("--scale", type=float, default=1.0,
                    help="genome scale factor for --acceptance")
+    p.add_argument("--scaling", action="store_true",
+                   help="multi-host weak-scaling efficiency (emulated "
+                        "hosts on CPU; run on a real slice for BASELINE "
+                        "numbers)")
+    p.add_argument("--hosts", type=int, nargs="+", default=[1, 2, 4],
+                   help="host counts for --scaling")
 
     args = ap.parse_args(argv)
 
@@ -139,7 +145,10 @@ def main(argv=None) -> int:
         print(json.dumps(result))
 
     elif args.cmd == "bench":
-        if args.acceptance is not None:
+        if args.scaling:
+            from kmerax.bench.scaling import run_scaling
+            print(json.dumps(run_scaling(host_counts=tuple(args.hosts))))
+        elif args.acceptance is not None:
             from kmerax.bench.acceptance import run_config
             print(json.dumps(run_config(args.acceptance, scale=args.scale)))
         else:
