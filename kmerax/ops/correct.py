@@ -75,19 +75,18 @@ def _weak_run_candidates(solid, existing, last_j, k, max_runs):
     return jnp.stack(cols, axis=1)
 
 
-def _window_counts(bases, last_j, k, t, query_fn):
+def _window_counts(bases, last_j, k, solid_fn):
     """Round-start solidity over all windows. Returns (solid, existing)."""
     words, valid = extract_kmers(bases, k)
     canon, _ = canonical_words(words, k)
-    counts = query_fn(canon, valid)
     nk = bases.shape[1] - k + 1
     j = jnp.arange(nk, dtype=jnp.int32)
     existing = j[None, :] <= last_j[:, None]
-    solid = (counts >= t) & valid & existing
+    solid = solid_fn(canon, valid) & existing
     return solid, existing
 
 
-def _eval_candidate(bases, lengths, last_j, i, active, k, t, query_fn):
+def _eval_candidate(bases, lengths, last_j, i, active, k, solid_fn):
     """One candidate slot, vectorized over reads. Returns (bases, accepted)."""
     B, L = bases.shape
     rows = jnp.arange(B, dtype=jnp.int32)
@@ -105,11 +104,10 @@ def _eval_candidate(bases, lengths, last_j, i, active, k, t, query_fn):
 
     words, wvalid = extract_kmers(wb4, k)                          # (B,4,k,·)
     canon, _ = canonical_words(words, k)
-    counts = query_fn(canon, wvalid)
 
     jglob = ic[:, None] - (k - 1) + jnp.arange(k, dtype=jnp.int32)  # (B,k)
     in_range = (jglob >= 0) & (jglob <= last_j[:, None])
-    solid4 = (counts >= t) & wvalid & in_range[:, None, :]
+    solid4 = solid_fn(canon, wvalid) & in_range[:, None, :]
     scores = jnp.sum(solid4.astype(jnp.int32), axis=-1)            # (B,4)
 
     cur = bases[rows, ic]
@@ -128,17 +126,26 @@ def _eval_candidate(bases, lengths, last_j, i, active, k, t, query_fn):
     return bases, accept
 
 
-def correct_batch(bases, lengths, k: int, t: int, query_fn,
-                  rounds: int = 2, max_runs: int = 8, max_edits: int = 8):
+def correct_batch(bases, lengths, k: int, t: int, query_fn=None,
+                  rounds: int = 2, max_runs: int = 8, max_edits: int = 8,
+                  solid_fn=None):
     """Correct a padded read batch (DESIGN.md §8), bit-exact vs oracle.
 
     Args:
       bases: (B, L) int32, padded past `lengths` with 4.
       lengths: (B,) int32 true read lengths.
-      query_fn: (canon_words, valid) -> int32 counts.
+      query_fn: (canon_words, valid) -> int32 counts (0 where invalid).
+      solid_fn: (canon_words, valid) -> bool, equivalent to
+        `query_fn(...) >= t` — the algorithm only ever consumes solidity
+        (DESIGN.md §8), so a packed-bitmap predicate
+        (spectrum.bloom.query_solid) gives bit-identical output with far
+        less gather traffic. Exactly one of query_fn / solid_fn required.
     Returns (corrected bases (B, L) int32, n_edits (B,) int32 — edits kept;
     0 where the read was reverted for exceeding max_edits).
     """
+    if solid_fn is None:
+        assert query_fn is not None, "need query_fn or solid_fn"
+        solid_fn = lambda cw, v: (query_fn(cw, v) >= t) & v
     B, L = bases.shape
     bases = bases.astype(jnp.int32)
     orig = bases
@@ -148,7 +155,7 @@ def correct_batch(bases, lengths, k: int, t: int, query_fn,
 
     def round_body(args):
         bases, edits, done = args
-        solid, existing = _window_counts(bases, last_j, k, t, query_fn)
+        solid, existing = _window_counts(bases, last_j, k, solid_fn)
         all_solid = jnp.all(solid | ~existing, axis=1)
         any_solid = jnp.any(solid, axis=1)
         done = done | all_solid | ~any_solid
@@ -165,7 +172,7 @@ def correct_batch(bases, lengths, k: int, t: int, query_fn,
             def full(args):
                 bases, edits, made = args
                 b2, acc = _eval_candidate(
-                    bases, lengths, last_j, cand_col, active, k, t, query_fn)
+                    bases, lengths, last_j, cand_col, active, k, solid_fn)
                 return b2, edits + acc.astype(jnp.int32), made | acc
 
             def compact(args):
@@ -176,7 +183,7 @@ def correct_batch(bases, lengths, k: int, t: int, query_fn,
                 sel = jnp.argsort(~live, stable=True)[:cap]
                 b2, acc = _eval_candidate(
                     bases[sel], lengths[sel], last_j[sel], cand_col[sel],
-                    live[sel], k, t, query_fn)
+                    live[sel], k, solid_fn)
                 return (bases.at[sel].set(b2),
                         edits.at[sel].add(acc.astype(jnp.int32)),
                         made.at[sel].set(made[sel] | acc))

@@ -24,6 +24,7 @@ from kmerax.ops.correct import correct_batch
 from kmerax.spectrum import (
     BloomParams, insert, lookup_sorted, make_table, merge_sorted, query,
 )
+from kmerax.spectrum.bloom import query_solid, solidity_bitmap
 from kmerax.spectrum.exact import (
     mask_invalid, sentinel_rows, sort_kmers, unique_counts,
 )
@@ -59,6 +60,20 @@ class CountState:
         params = _bloom_params(self.cfg, self.cfg.k)
         table = self.bloom_table
         return lambda cw, v: query(params, table, cw, v)
+
+    def solid_fn(self, use_exact: bool = False):
+        """Solidity predicate for ops.correct_batch (bit-identical to
+        `query_fn(...) >= threshold`). The bloom path queries a packed
+        bitmap (spectrum.bloom.solidity_bitmap): 128x smaller working set
+        than the int32 table, same decisions."""
+        if use_exact:
+            qf = self.query_fn(use_exact=True)
+            t = self.threshold
+            return lambda cw, v: (qf(cw, v) >= t) & v
+        params = _bloom_params(self.cfg, self.cfg.k)
+        bitmap = jax.jit(solidity_bitmap, static_argnums=0)(
+            params, self.bloom_table, self.threshold)
+        return lambda cw, v: query_solid(params, bitmap, cw, v)
 
 
 def _bloom_params(cfg: KmeraxConfig, k: int) -> BloomParams:
@@ -222,12 +237,12 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
                 use_exact: bool = False) -> dict:
     """Correct pass (SURVEY.md §3.2): stream -> correct_batch -> FASTQ."""
     m = metrics or MetricsWriter(None)
-    qf = state.query_fn(use_exact)
+    sf = state.solid_fn(use_exact)
     k, t = cfg.k, state.threshold
 
     @jax.jit
     def step(bases, lengths):
-        return correct_batch(bases, lengths, k, t, qf,
+        return correct_batch(bases, lengths, k, t, solid_fn=sf,
                              rounds=cfg.rounds, max_runs=cfg.max_runs,
                              max_edits=cfg.max_edits)
 

@@ -108,6 +108,39 @@ def insert(params: BloomParams, table: jnp.ndarray,
     return table2d.reshape(-1)
 
 
+def solidity_bitmap(params: BloomParams, table: jnp.ndarray,
+                    t: int | jnp.ndarray) -> jnp.ndarray:
+    """Pack (table >= t) into a uint32 bitmap, 32 counters per word.
+
+    The corrector only ever consumes `count >= t` (DESIGN.md §8: every
+    decision is a solidity test), so the correction pass can query this
+    bitmap instead of the int32 table — bit-identical results with a 128x
+    smaller working set (2^LW bits vs 2^LW * 4 bytes): VMEM-resident for
+    Pallas kernels, one gather word per probe for XLA, and 128x less
+    all-gather/H2D traffic when replicating the merged spectrum.
+    """
+    bits = (table.reshape(-1, 32) >= t).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+
+
+def query_solid(params: BloomParams, bitmap: jnp.ndarray,
+                canon_words: jnp.ndarray,
+                valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Solidity test against a packed bitmap: AND over the d probes.
+
+    Equivalent to `query(...) >= t` for the `t` the bitmap was built with
+    (min over probes >= t  <=>  every probe >= t). Invalid lanes -> False.
+    """
+    idx = probe_indices(params, canon_words)
+    words = bitmap[(idx >> 5).astype(jnp.int32)]
+    bits = (words >> (idx.astype(jnp.uint32) & jnp.uint32(31))) & jnp.uint32(1)
+    solid = jnp.all(bits == 1, axis=-1)
+    if valid is not None:
+        solid = solid & valid
+    return solid
+
+
 def query(params: BloomParams, table: jnp.ndarray,
           canon_words: jnp.ndarray,
           valid: jnp.ndarray | None = None,

@@ -118,3 +118,31 @@ def test_correct_batch_split_invariance(dataset):
     parts = np.concatenate([np.asarray(f(all_b[:20], all_l[:20])),
                             np.asarray(f(all_b[20:], all_l[20:]))])
     assert np.array_equal(whole, parts)
+
+
+def test_correct_batch_bitmap_path_identical(dataset):
+    """correct_batch(solid_fn=bitmap) is bit-identical to the count path."""
+    from kmerax.spectrum.bloom import query_solid, solidity_bitmap
+
+    bases_list = dataset
+    k, t = 25, 2
+    params = BloomParams(k=k, log2_width=18, num_hashes=4)
+    b, lengths = _pad_batch(bases_list, 100)
+
+    @jax.jit
+    def build(bases):
+        words, valid = extract_kmers(bases, k)
+        canon, _ = canonical_words(words, k)
+        return insert(params, make_table(params), canon, valid)
+
+    table = build(b)
+    qf = lambda cw, v: query(params, table, cw, v)
+    bitmap = solidity_bitmap(params, table, t)
+    sf = lambda cw, v: query_solid(params, bitmap, cw, v)
+
+    ref_b, ref_e = jax.jit(
+        lambda x, l: correct_batch(x, l, k, t, qf))(b, lengths)
+    got_b, got_e = jax.jit(
+        lambda x, l: correct_batch(x, l, k, t, solid_fn=sf))(b, lengths)
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref_b))
+    np.testing.assert_array_equal(np.asarray(got_e), np.asarray(ref_e))

@@ -156,3 +156,30 @@ def test_histogram_threshold_vs_oracle(dataset):
     assert np.array_equal(hist[1:], ohist[1:])
     assert solid_threshold(hist) == oracle.auto_threshold(ohist)
     assert solid_threshold(hist, override=5) == 5
+
+
+def test_solidity_bitmap_matches_thresholded_query(dataset):
+    """query_solid(bitmap) == (query(table) >= t) for every window & t."""
+    from kmerax.spectrum.bloom import query_solid, solidity_bitmap
+
+    _, reads = dataset
+    k = 31
+    params = BloomParams(k=k, log2_width=16, num_hashes=4)
+    bases = _batch(reads[:200])
+
+    @jax.jit
+    def build(bases):
+        words, valid = extract_kmers(bases, k)
+        canon, _ = canonical_words(words, k)
+        table = insert(params, make_table(params), canon, valid)
+        return table, canon, valid
+
+    table, canon, valid = build(bases)
+    for t in (1, 2, 3, 7):
+        bitmap = solidity_bitmap(params, table, t)
+        assert bitmap.dtype == jnp.uint32
+        assert bitmap.shape == (params.width // 32,)
+        want = (np.asarray(query(params, table, canon, valid)) >= t) \
+            & np.asarray(valid)
+        got = np.asarray(query_solid(params, bitmap, canon, valid))
+        np.testing.assert_array_equal(got, want)
