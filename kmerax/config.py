@@ -18,6 +18,10 @@ class KmeraxConfig:
     k: int = 31
     minimizer_m: int = 11
     num_buckets: int = 256
+    # "hash": bucket = h1 bits (DESIGN.md §5a, cheap probes — default);
+    # "minimizer": bucket = minimizer % num_buckets (KMC2-style routing
+    # locality for super-k-mer compression, DESIGN.md §4).
+    bucket_scheme: str = "hash"
 
     # counting Bloom spectrum (DESIGN.md §5)
     bloom_log2_width: int = 24
@@ -61,6 +65,8 @@ class KmeraxConfig:
         nb = self.num_buckets
         if nb & (nb - 1) or nb <= 0:
             raise ValueError("num_buckets must be a power of two")
+        if self.bucket_scheme not in ("hash", "minimizer"):
+            raise ValueError("bucket_scheme must be 'hash' or 'minimizer'")
         if (nb - 1).bit_length() > self.bloom_log2_width - 7:
             raise ValueError(
                 "bloom_log2_width must be >= log2(num_buckets) + 7 "

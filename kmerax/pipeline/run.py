@@ -78,7 +78,8 @@ class CountState:
 
 def _bloom_params(cfg: KmeraxConfig, k: int) -> BloomParams:
     return BloomParams(k, cfg.bloom_log2_width, cfg.bloom_hashes,
-                       cfg.minimizer_m, (cfg.num_buckets - 1).bit_length())
+                       cfg.minimizer_m, (cfg.num_buckets - 1).bit_length(),
+                       cfg.bucket_scheme)
 
 
 def _count_steps(cfg: KmeraxConfig, k: int):

@@ -33,10 +33,12 @@ class BloomParams:
     num_hashes: int = 4
     minimizer_m: int = 11
     log2_buckets: int = 8           # T = 2^log2_buckets segments
+    bucket_scheme: str = "hash"     # "hash" (DESIGN.md §5a) | "minimizer" (§4)
 
     def __post_init__(self):
         assert self.log2_buckets <= self.log2_width - 7 <= 31
         assert self.num_hashes <= 4
+        assert self.bucket_scheme in ("hash", "minimizer")
 
     @property
     def width(self) -> int:
@@ -47,14 +49,43 @@ def make_table(params: BloomParams) -> jnp.ndarray:
     return jnp.zeros(params.width, dtype=jnp.int32)
 
 
-def probe_indices(params: BloomParams, canon_words: jnp.ndarray,
-                  buckets: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Global probe indices (..., d); buckets computed if not supplied."""
-    if buckets is None:
-        buckets = (minimizers(canon_words, params.k, params.minimizer_m)
-                   % jnp.uint32(1 << params.log2_buckets))
+def bucket_of(params: BloomParams, canon_words: jnp.ndarray) -> jnp.ndarray:
+    """Segment-owner bucket per the configured scheme (uint32)."""
+    if params.bucket_scheme == "hash":
+        from kmerax.core.hash import hash_bucket
+        return hash_bucket(canon_words, params.log2_width,
+                           params.log2_buckets)
+    return (minimizers(canon_words, params.k, params.minimizer_m)
+            % jnp.uint32(1 << params.log2_buckets))
+
+
+def _scheme_buckets(params: BloomParams, canon_words: jnp.ndarray):
+    """None for the hash scheme (bucket folds into h1 — no extra compute)."""
+    if params.bucket_scheme == "hash":
+        return None
+    return (minimizers(canon_words, params.k, params.minimizer_m)
+            % jnp.uint32(1 << params.log2_buckets))
+
+
+def probe_indices(params: BloomParams, canon_words: jnp.ndarray) -> jnp.ndarray:
+    """Global probe indices (..., d) per the configured bucket scheme."""
     return bloom_indices(canon_words, params.log2_width, params.num_hashes,
-                         buckets, params.log2_buckets)
+                         _scheme_buckets(params, canon_words),
+                         params.log2_buckets)
+
+
+def blocks_lanepack(params: BloomParams, canon_words: jnp.ndarray):
+    """(block (...) int32, lanepack (...) int32 with d 7-bit lanes packed) —
+    the Pallas insert kernel's native addressing form (DESIGN.md §5)."""
+    from kmerax.core.hash import bloom_blocks_lanes
+
+    block, lanes = bloom_blocks_lanes(
+        canon_words, params.log2_width, params.num_hashes,
+        _scheme_buckets(params, canon_words), params.log2_buckets)
+    lp = lanes[..., 0]
+    for j in range(1, params.num_hashes):
+        lp = lp | (lanes[..., j] << (7 * j))
+    return block, lp
 
 
 def insert(params: BloomParams, table: jnp.ndarray,
@@ -72,13 +103,11 @@ def insert(params: BloomParams, table: jnp.ndarray,
     to a dropped out-of-range block).
     """
     from kmerax.core.hash import bloom_blocks_lanes
-    from kmerax.core.minimizer import minimizers
 
     d = params.num_hashes
-    buckets = (minimizers(canon_words, params.k, params.minimizer_m)
-               % jnp.uint32(1 << params.log2_buckets))
     block, lanes = bloom_blocks_lanes(
-        canon_words, params.log2_width, d, buckets, params.log2_buckets)
+        canon_words, params.log2_width, d,
+        _scheme_buckets(params, canon_words), params.log2_buckets)
     if local_bits is not None:
         block = block & ((1 << (local_bits - 7)) - 1)
     nrows = table.shape[0] // 128

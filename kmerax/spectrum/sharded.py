@@ -64,9 +64,9 @@ class ShardedParams:
 
 def _shard_of(canon_flat, sp: ShardedParams):
     """shard = bucket >> (TB - SB): contiguous segment-range owner."""
+    from kmerax.spectrum.bloom import bucket_of
     b = sp.bloom
-    bucket = (minimizers(canon_flat, b.k, b.minimizer_m)
-              % jnp.uint32(1 << b.log2_buckets))
+    bucket = bucket_of(b, canon_flat)
     return (bucket >> (b.log2_buckets - sp.shard_bits)).astype(jnp.int32)
 
 

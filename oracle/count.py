@@ -59,24 +59,32 @@ class CountingBloomOracle:
     its minimizer-bucket segment, d lanes within the block (DESIGN.md §5)."""
 
     def __init__(self, k: int, log2_width: int, num_hashes: int = 4,
-                 minimizer_m: int = 11, log2_buckets: int = 8):
+                 minimizer_m: int = 11, log2_buckets: int = 8,
+                 bucket_scheme: str = "hash"):
         assert log2_buckets <= log2_width - 7 and log2_width <= 31
         assert num_hashes <= 4
+        assert bucket_scheme in ("hash", "minimizer")
         self.k = k
+        self.log2_width = log2_width
         self.width = 1 << log2_width
         self.seg_blocks_bits = log2_width - 7 - log2_buckets
         self.m = minimizer_m
         self.nbuckets = 1 << log2_buckets
         self.d = num_hashes
+        self.bucket_scheme = bucket_scheme
         self.table = np.zeros(self.width, dtype=np.int64)
 
     def _probes(self, canon: int):
-        from oracle.codec import minimizer_of
-        bucket = minimizer_of(canon, self.k, self.m) % self.nbuckets
         h1 = kmer_hash_int(canon, self.k, HASH_SEED_1)
         h2 = kmer_hash_int(canon, self.k, HASH_SEED_2)
-        block = (bucket << self.seg_blocks_bits) \
-            | (h1 & ((1 << self.seg_blocks_bits) - 1))
+        if self.bucket_scheme == "hash":
+            # DESIGN.md §5a: bucket + block offset = low bits of h1
+            block = h1 & ((1 << (self.log2_width - 7)) - 1)
+        else:
+            from oracle.codec import minimizer_of
+            bucket = minimizer_of(canon, self.k, self.m) % self.nbuckets
+            block = (bucket << self.seg_blocks_bits) \
+                | (h1 & ((1 << self.seg_blocks_bits) - 1))
         return [(block << 7) | ((h2 >> (7 * i)) & 127)
                 for i in range(self.d)]
 

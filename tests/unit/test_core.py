@@ -111,15 +111,19 @@ def test_minimizer_matches_oracle(k):
 
 
 @pytest.mark.parametrize("k", KS)
-def test_bloom_indices_match_oracle(k):
-    """Bucket-segmented probes (DESIGN.md §5) vs oracle."""
+@pytest.mark.parametrize("scheme", ["hash", "minimizer"])
+def test_bloom_indices_match_oracle(k, scheme):
+    """Bucket-segmented probes (DESIGN.md §5 / §5a) vs oracle, both schemes."""
     from oracle.count import CountingBloomOracle
     rng = np.random.default_rng(60 + k)
     vals, words = _rand_kmers(rng, k, 32)
     canon, _ = canonical_words(words, k)
-    bk = (minimizers(canon, k, 11) % jnp.uint32(256))
+    bk = None
+    if scheme == "minimizer":
+        bk = (minimizers(canon, k, 11) % jnp.uint32(256))
     bl = CountingBloomOracle(k, log2_width=20, num_hashes=4,
-                             minimizer_m=11, log2_buckets=8)
+                             minimizer_m=11, log2_buckets=8,
+                             bucket_scheme=scheme)
     got = np.asarray(bloom_indices(canon, 20, 4, bk, 8))
     for v, row in zip(vals, got):
         assert list(row) == bl._probes(canonical_int(v, k))

@@ -30,11 +30,13 @@ def dataset():
     return genome, reads
 
 
-@pytest.mark.parametrize("k", [25, 31])
-def test_bloom_matches_oracle(dataset, k):
+@pytest.mark.parametrize("k,scheme", [(25, "hash"), (31, "hash"),
+                                      (31, "minimizer")])
+def test_bloom_matches_oracle(dataset, k, scheme):
     _, reads = dataset
     reads = reads[:300]
-    params = BloomParams(k=k, log2_width=18, num_hashes=4)
+    params = BloomParams(k=k, log2_width=18, num_hashes=4,
+                         bucket_scheme=scheme)
     bases = _batch(reads)
 
     @jax.jit
@@ -45,7 +47,8 @@ def test_bloom_matches_oracle(dataset, k):
         return t, query(params, t, canon, valid)
 
     table, counts = build(bases)
-    obl = oracle.CountingBloomOracle(k, log2_width=18, num_hashes=4)
+    obl = oracle.CountingBloomOracle(k, log2_width=18, num_hashes=4,
+                                     bucket_scheme=scheme)
     obl.add_reads([r.bases for r in reads])
     assert int(np.asarray(table).sum()) == int(obl.table.sum())
     counts = np.asarray(counts)
