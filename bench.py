@@ -18,12 +18,17 @@ def main():
     from kmerax.utils.compile_cache import enable
     enable()
     from kmerax.config import KmeraxConfig
-    from kmerax.bench.runners import bench_count
+    from kmerax.bench.runners import bench_correct, bench_count
 
     cfg = KmeraxConfig(k=31, bloom_log2_width=24)
     r = bench_count(cfg, n_reads=16384, read_len=150)
+    c = bench_correct(cfg, n_reads=4096, read_len=150)
     print(json.dumps({"metric": r["metric"], "value": r["value"],
-                      "unit": r["unit"], "vs_baseline": r["vs_baseline"]}))
+                      "unit": r["unit"], "vs_baseline": r["vs_baseline"],
+                      "correct_metric": c["metric"],
+                      "correct_value": c["value"],
+                      "correct_unit": c["unit"],
+                      "correct_vs_baseline": c["vs_baseline"]}))
 
 
 if __name__ == "__main__":

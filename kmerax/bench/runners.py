@@ -104,11 +104,14 @@ def bench_correct(cfg: KmeraxConfig, n_reads: int = 4096,
         table = build(table, b)
     table.block_until_ready()
     lengths = jnp.full(n_reads, read_len, dtype=jnp.int32)
-    qf = lambda cw, v: query(params, table, cw, v)
+    # production correct path: packed solidity bitmap (run.CountState.solid_fn)
+    from kmerax.spectrum.bloom import query_solid, solidity_bitmap
+    bitmap = jax.jit(solidity_bitmap, static_argnums=0)(params, table, 3)
+    sf = lambda cw, v: query_solid(params, bitmap, cw, v)
 
     @jax.jit
     def step(state, bases):
-        fixed, ne = correct_batch(bases, lengths, k, 3, qf,
+        fixed, ne = correct_batch(bases, lengths, k, 3, solid_fn=sf,
                                   rounds=cfg.rounds, max_runs=cfg.max_runs,
                                   max_edits=cfg.max_edits)
         return state + jnp.sum(ne)

@@ -40,12 +40,15 @@ extern "C" {
 //   lengths: cap_records int32
 //   name_off/name_len, qual_off/qual_len: byte ranges into buf (name without
 //   the leading '@'; both without trailing newline)
+//   plus_off/plus_len: byte range of the third ('+') separator line, kept
+//   verbatim so '+name'-style records round-trip byte-identically
 // Returns #records parsed (stops at cap_records or on an incomplete tail);
 // *consumed = bytes consumed. Errors: -1 bad name line, -2 read > max_len.
 long kmerax_fastq_parse(const uint8_t* buf, long len, long cap_records,
                         long max_len, int8_t* bases, int32_t* lengths,
                         int64_t* name_off, int32_t* name_len,
                         int64_t* qual_off, int32_t* qual_len,
+                        int64_t* plus_off, int32_t* plus_len,
                         long* consumed) {
     const uint8_t* p = buf;
     const uint8_t* end = buf + len;
@@ -68,6 +71,8 @@ long kmerax_fastq_parse(const uint8_t* buf, long len, long cap_records,
         if (seq_len > max_len) return -2;
         name_off[nrec] = (p + 1) - buf;
         name_len[nrec] = (int32_t)(nl1 - (p + 1));
+        plus_off[nrec] = (nl2 + 1) - buf;
+        plus_len[nrec] = (int32_t)(nl3 - (nl2 + 1));
         qual_off[nrec] = (nl3 + 1) - buf;
         qual_len[nrec] = (int32_t)(nl4 - (nl3 + 1));
         int8_t* brow = bases + nrec * max_len;

@@ -119,7 +119,7 @@ def _batch_reads_native(paths, batch_size: int, max_len: int):
                         tail += b"\n"
                 buf = tail + chunk
                 cap = buf.count(b"\n") // 4 + 1
-                bases, lengths, names, quals, consumed = parse_chunk(
+                bases, lengths, names, quals, pluses, consumed = parse_chunk(
                     buf, cap, max_len)
                 tail = buf[consumed:]
                 if eof and tail:
@@ -128,7 +128,8 @@ def _batch_reads_native(paths, batch_size: int, max_len: int):
                     pend_bases.append(bases.astype(np.int32))
                     pend_lens.append(lengths)
                     pend_recs.extend(
-                        FastqRecord(n, b"", q) for n, q in zip(names, quals))
+                        FastqRecord(n, b"", q, pl)
+                        for n, q, pl in zip(names, quals, pluses))
                     npend += len(bases)
                     yield from emit(final=False)
     yield from emit(final=True)

@@ -40,6 +40,7 @@ class FastqRecord:
     name: bytes   # without leading '@', without newline
     seq: bytes
     qual: bytes
+    plus: bytes = b"+"   # third line verbatim ('+name' round-trips)
 
 
 class FastqReader:
@@ -69,12 +70,14 @@ class FastqReader:
                         fields[0] = ln[1:]
                     elif m == 1:
                         fields[1] = ln
+                    elif m == 2:
+                        fields[2] = ln
                     elif m == 3:
-                        yield FastqRecord(fields[0], fields[1], ln)
+                        yield FastqRecord(fields[0], fields[1], ln, fields[2])
                     nline += 1
             if tail:
                 if (nline & 3) == 3:
-                    yield FastqRecord(fields[0], fields[1], tail)
+                    yield FastqRecord(fields[0], fields[1], tail, fields[2])
                 else:
                     raise ValueError(f"{self.path}: truncated FASTQ record")
             elif (nline & 3) != 0:
@@ -91,13 +94,14 @@ class FastqWriter:
     def __init__(self, path: str):
         self._f = _open_w(path)
 
-    def write(self, name: bytes, seq_bases: np.ndarray, qual: bytes):
+    def write(self, name: bytes, seq_bases: np.ndarray, qual: bytes,
+              plus: bytes = b"+"):
         seq = bases_to_seq_bytes(np.asarray(seq_bases, dtype=np.uint8))
-        self._f.write(b"@" + name + b"\n" + seq.tobytes() + b"\n+\n"
-                      + qual + b"\n")
+        self._f.write(b"@" + name + b"\n" + seq.tobytes() + b"\n" + plus
+                      + b"\n" + qual + b"\n")
 
     def write_record(self, rec: FastqRecord, seq_bases: np.ndarray):
-        self.write(rec.name, seq_bases, rec.qual)
+        self.write(rec.name, seq_bases, rec.qual, rec.plus)
 
     def close(self):
         self._f.close()

@@ -62,6 +62,7 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_long)]
     _lib = lib
     return _lib
@@ -71,8 +72,8 @@ def parse_chunk(buf: bytes, cap_records: int, max_len: int):
     """Parse complete FASTQ records from a bytes chunk via the C++ parser.
 
     Returns (bases (n, max_len) int8, lengths (n,), names list[bytes],
-    quals list[bytes], consumed_bytes). Raises ValueError on malformed input
-    (same conditions as the Python parser).
+    quals list[bytes], pluses list[bytes], consumed_bytes). Raises ValueError
+    on malformed input (same conditions as the Python parser).
     """
     lib = get_lib()
     assert lib is not None
@@ -82,6 +83,8 @@ def parse_chunk(buf: bytes, cap_records: int, max_len: int):
     name_len = np.empty(cap_records, dtype=np.int32)
     qual_off = np.empty(cap_records, dtype=np.int64)
     qual_len = np.empty(cap_records, dtype=np.int32)
+    plus_off = np.empty(cap_records, dtype=np.int64)
+    plus_len = np.empty(cap_records, dtype=np.int32)
     consumed = ctypes.c_long(0)
     n = lib.kmerax_fastq_parse(
         buf, len(buf), cap_records, max_len,
@@ -91,6 +94,8 @@ def parse_chunk(buf: bytes, cap_records: int, max_len: int):
         name_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         qual_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         qual_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        plus_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        plus_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.byref(consumed))
     if n == -1:
         raise ValueError("FASTQ name line must start with '@'")
@@ -98,4 +103,5 @@ def parse_chunk(buf: bytes, cap_records: int, max_len: int):
         raise ValueError(f"read length exceeds max_read_len {max_len}")
     names = [buf[name_off[i]:name_off[i] + name_len[i]] for i in range(n)]
     quals = [buf[qual_off[i]:qual_off[i] + qual_len[i]] for i in range(n)]
-    return bases[:n], lengths[:n], names, quals, consumed.value
+    pluses = [buf[plus_off[i]:plus_off[i] + plus_len[i]] for i in range(n)]
+    return bases[:n], lengths[:n], names, quals, pluses, consumed.value

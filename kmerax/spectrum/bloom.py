@@ -96,12 +96,19 @@ def insert(params: BloomParams, table: jnp.ndarray,
     `local_bits`: when the table is a 2^local_bits range shard (DESIGN.md
     §12), global indices are masked to shard-local offsets.
 
-    All d probes live in one 128-lane block (DESIGN.md §5), so the insert is
-    ONE vectorized row scatter-add per k-mer: build the d-lane one-hot row
-    and `table2d.at[block].add(row)`. Measured 2x the scalar-probe scatter
-    on v5e, bit-identical result (commutative adds; invalid k-mers scatter
-    to a dropped out-of-range block).
+    On TPU backends with a VMEM-sized table this dispatches to the Pallas
+    VMEM-resident kernel (spectrum.pallas_bloom, ~2.2x the XLA scatter on
+    v5e, bit-identical result). The XLA path below is the fallback and the
+    CPU reference: all d probes live in one 128-lane block (DESIGN.md §5),
+    so the insert is ONE vectorized row scatter-add per k-mer: build the
+    d-lane one-hot row and `table2d.at[block].add(row)` (commutative adds;
+    invalid k-mers scatter to a dropped out-of-range block).
     """
+    from kmerax.spectrum.pallas_bloom import insert_pallas, pallas_insert_ok
+
+    if pallas_insert_ok(params, table_entries=table.shape[0]):
+        return insert_pallas(params, table, canon_words, valid,
+                             local_bits=local_bits)
     from kmerax.core.hash import bloom_blocks_lanes
 
     d = params.num_hashes
@@ -160,11 +167,25 @@ def query_solid(params: BloomParams, bitmap: jnp.ndarray,
 
     Equivalent to `query(...) >= t` for the `t` the bitmap was built with
     (min over probes >= t  <=>  every probe >= t). Invalid lanes -> False.
+
+    All d probes of a k-mer live in ONE 128-bit block = 4 consecutive
+    bitmap words (DESIGN.md §5), so the whole test is a single row gather
+    from the (width/128, 4) bitmap view + vectorized bit tests — XLA
+    gathers are issue-bound (~11 cyc each on v5e, experiments/scatter_lab
+    V6), so 1 gather/k-mer is ~4x the 4-gather variant.
     """
-    idx = probe_indices(params, canon_words)
-    words = bitmap[(idx >> 5).astype(jnp.int32)]
-    bits = (words >> (idx.astype(jnp.uint32) & jnp.uint32(31))) & jnp.uint32(1)
-    solid = jnp.all(bits == 1, axis=-1)
+    block, lp = blocks_lanepack(params, canon_words)
+    rows = bitmap.reshape(-1, 4)[block]                     # (..., 4) uint32
+    lp = lp.astype(jnp.uint32)
+    solid = None
+    for j in range(params.num_hashes):
+        l7 = (lp >> (7 * j)) & jnp.uint32(127)
+        widx = (l7 >> 5).astype(jnp.int32)                  # word 0..3
+        word = rows[..., 0]
+        for i in range(1, 4):
+            word = jnp.where(widx == i, rows[..., i], word)
+        bit = (word >> (l7 & jnp.uint32(31))) & jnp.uint32(1)
+        solid = (bit == 1) if solid is None else solid & (bit == 1)
     if valid is not None:
         solid = solid & valid
     return solid

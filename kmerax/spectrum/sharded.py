@@ -111,34 +111,46 @@ def _route_back(values, meta):
     return jnp.zeros(n, dtype=values.dtype).at[order].set(got)
 
 
+# partition rules for the distributed count state (leaf-path regex ->
+# PartitionSpec), consumed via dist.partition.shard_tree — the DP axis holds
+# per-replica partials, the bucket axis range-shards the spectrum
+SHARDED_STATE_RULES = [
+    (r"^table$", P(AXIS_DATA, AXIS_BUCKET, None)),
+    (r"^exact/uniq$", P(AXIS_DATA, AXIS_BUCKET, None, None)),
+    (r"^exact/counts$", P(AXIS_DATA, AXIS_BUCKET, None)),
+    (r"^exact/n$", P(AXIS_DATA, AXIS_BUCKET)),
+]
+
+
 def make_sharded_state(sp: ShardedParams, mesh, exact_capacity: int | None,
                        k: int):
-    """Initial per-device state, placed with the right shardings.
+    """Initial per-device state, placed via the partition-rule engine
+    (SHARDED_STATE_RULES + dist.partition, SURVEY.md §2 #21).
 
     The global-width table is represented (D, S, width/S): row d holds data
     replica d's partial counts of the S range shards.
     """
-    from jax.sharding import NamedSharding
+    from kmerax.dist.partition import shard_tree
 
     D = mesh.shape[AXIS_DATA]
     S = mesh.shape[AXIS_BUCKET]
     w = (k + 15) // 16
     perw = sp.bloom.width // S
 
-    def put(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
-
-    table = put(jnp.zeros((D, S, perw), jnp.int32),
-                P(AXIS_DATA, AXIS_BUCKET, None))
+    tree = {"table": np.zeros((D, S, perw), np.int32)}
+    if exact_capacity is not None:
+        tree["exact"] = {
+            "uniq": np.broadcast_to(
+                np.asarray(sentinel_rows(exact_capacity, w))[None, None],
+                (D, S, exact_capacity, w)),
+            "counts": np.zeros((D, S, exact_capacity), np.int32),
+            "n": np.zeros((D, S), np.int32),
+        }
+    placed = shard_tree(mesh, tree, SHARDED_STATE_RULES)
     if exact_capacity is None:
-        return table, None
-    uniq = put(jnp.broadcast_to(
-        sentinel_rows(exact_capacity, w)[None, None],
-        (D, S, exact_capacity, w)), P(AXIS_DATA, AXIS_BUCKET, None, None))
-    counts = put(jnp.zeros((D, S, exact_capacity), jnp.int32),
-                 P(AXIS_DATA, AXIS_BUCKET, None))
-    n = put(jnp.zeros((D, S), jnp.int32), P(AXIS_DATA, AXIS_BUCKET))
-    return table, (uniq, counts, n)
+        return placed["table"], None
+    ex = placed["exact"]
+    return placed["table"], (ex["uniq"], ex["counts"], ex["n"])
 
 
 def sharded_insert_step(sp: ShardedParams, mesh, k: int,

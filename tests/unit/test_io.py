@@ -98,3 +98,25 @@ def test_fasta_roundtrip(tmp_path):
     write_fasta(str(p), seqs)
     got = read_fasta(str(p))
     assert got == [("unitig_0 len=40", seqs[0]), ("unitig_1 len=5", seqs[1])]
+
+
+def test_fastq_plus_line_preserved(tmp_path):
+    """'+name'-style separator lines round-trip byte-identically
+    (VERDICT r1 weak #10), through both the Python and native parsers."""
+    raw = (b"@r0 x\nACGT\n+r0 x\nIIII\n"
+           b"@r1\nTTAA\n+\nJJJJ\n"
+           b"@r2\nGGGG\n+anything else\nKKKK\n")
+    p = tmp_path / "plus.fastq"
+    p.write_bytes(raw)
+    recs = read_fastq(str(p))
+    assert [r.plus for r in recs] == [b"+r0 x", b"+", b"+anything else"]
+    out = tmp_path / "out.fastq"
+    with FastqWriter(str(out)) as w:
+        for rec in recs:
+            w.write_record(rec, seq_bytes_to_bases(
+                np.frombuffer(rec.seq, dtype=np.uint8)))
+    assert out.read_bytes() == raw
+    # native batcher path carries the plus line too
+    for b in batch_reads(str(p), 4, 8, use_native=None):
+        assert [r.plus for r in b.records] == [b"+r0 x", b"+",
+                                               b"+anything else"]

@@ -186,3 +186,26 @@ def test_solidity_bitmap_matches_thresholded_query(dataset):
             & np.asarray(valid)
         got = np.asarray(query_solid(params, bitmap, canon, valid))
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("scheme", ["hash", "minimizer"])
+@pytest.mark.parametrize("local_bits", [None, 15])
+def test_pallas_insert_interpret_matches_xla(dataset, scheme, local_bits):
+    """Pallas VMEM insert (interpret mode on CPU) == XLA scatter insert,
+    both bucket schemes, full table and range shard."""
+    from kmerax.spectrum.pallas_bloom import insert_pallas
+
+    _, reads = dataset
+    k = 31
+    params = BloomParams(k=k, log2_width=16, num_hashes=4,
+                         bucket_scheme=scheme)
+    bases = _batch(reads[:100])
+    words, valid = extract_kmers(bases, k)
+    canon, _ = canonical_words(words, k)
+    entries = (1 << local_bits) if local_bits else params.width
+    t0 = jnp.zeros(entries, dtype=jnp.int32)
+    t_xla = insert(params, t0, canon, valid, local_bits=local_bits)
+    t_pal = insert_pallas(params, t0, canon, valid, local_bits=local_bits,
+                          interpret=True)
+    assert np.array_equal(np.asarray(t_xla), np.asarray(t_pal))
+    assert int(np.asarray(t_pal).sum()) > 0
