@@ -3,9 +3,8 @@
 Measures on the real chip:
   A  full correct_batch (the bench step)         -- baseline
   B  window query only (solid_fn over all nk windows, x rounds)
-  C  one _eval_candidate at full batch width
-  D  one _eval_candidate at compact width (B/8)
-  E  argsort(~live) cost (the compaction selector), x32 slots
+  C  one _eval_entries at width B (v2 flat candidate eval)
+  D  one _eval_entries at width B/4
 """
 import sys, time
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
@@ -15,7 +14,7 @@ enable()
 from kmerax.config import KmeraxConfig
 from kmerax.core.codec import canonical_words
 from kmerax.core.kmers import extract_kmers
-from kmerax.ops.correct import correct_batch, _eval_candidate, _window_counts
+from kmerax.ops.correct import correct_batch, _eval_entries, _window_counts
 from kmerax.pipeline.run import _bloom_params
 from kmerax.spectrum.bloom import insert, make_table, query, query_solid, solidity_bitmap
 from kmerax.bench.runners import _sim_batch, _sync
@@ -60,19 +59,14 @@ last_j = lengths - k
 wf = jax.jit(lambda b: _window_counts(b, last_j, k, sf)[0].sum())
 timeit(wf, (bases,), "B window solidity query (1x)")
 
-# C: one eval at full width
-i = jnp.full(n_reads, 75, dtype=jnp.int32)
-active = jnp.ones(n_reads, dtype=bool)
-ef = jax.jit(lambda b: _eval_candidate(b, lengths, last_j, i, active, k, sf)[0].sum())
-timeit(ef, (bases,), "C one _eval_candidate full width")
+# C: one flat entry eval at width B
+ent_r = jnp.arange(n_reads, dtype=jnp.int32)
+ent_i = jnp.full(n_reads, 75, dtype=jnp.int32)
+ef = jax.jit(lambda b: _eval_entries(b, lengths, last_j, ent_r, ent_i, k, sf)[1].sum())
+timeit(ef, (bases,), "C _eval_entries width B")
 
-# D: compact width
-cap = n_reads // 8
-ef2 = jax.jit(lambda b: _eval_candidate(b[:cap], lengths[:cap], last_j[:cap],
-                                        i[:cap], active[:cap], k, sf)[0].sum())
-timeit(ef2, (bases,), "D one _eval_candidate compact width")
-
-# E: argsort cost
-live = jnp.asarray(np.random.default_rng(0).random(n_reads) < 0.05)
-af = jax.jit(lambda lv: jnp.argsort(~lv, stable=True)[:cap].sum())
-timeit(af, (live,), "E argsort(~live) selector (1x)")
+# D: width B/4
+cap = n_reads // 4
+ef2 = jax.jit(lambda b: _eval_entries(b, lengths, last_j, ent_r[:cap],
+                                      ent_i[:cap], k, sf)[1].sum())
+timeit(ef2, (bases,), "D _eval_entries width B/4")

@@ -1,12 +1,14 @@
 """Spectrum-based error correction, vectorized over a read batch.
 
-Bit-exact implementation of the frozen algorithm in DESIGN.md §8 ("C++ SIMD
-correction loop → Pallas vectorized spectrum lookup+edit", BASELINE.json:5).
-This module is the XLA reference path: everything is fixed-shape jnp; the
-candidate-slot loop is a static unroll whose per-slot work is vectorized
-across the whole batch, reproducing the oracle's *sequential* within-round
-edit semantics exactly. A Pallas kernel can replace the inner probe loop
-without changing results.
+Bit-exact implementation of the frozen algorithm in DESIGN.md §8 v2 ("C++
+SIMD correction loop → Pallas vectorized spectrum lookup+edit",
+BASELINE.json:5). v2 is the TPU-native formulation: every candidate of a
+round is scored in ONE fused pass against the round-start read (a single
+large spectrum-probe batch — Pallas-friendly), then edits are applied
+simultaneously under a deterministic conflict-suppression rule. This
+replaced v1's sequential per-candidate loop, whose per-slot XLA dispatch
+overhead (measured ~9 ms/slot on v5e regardless of width,
+experiments/correct_profile.py) dominated correction wall time.
 
 `query_fn(canon_words, valid) -> int32 counts` abstracts the spectrum
 (counting Bloom, exact sorted, or bucket-sharded).
@@ -86,31 +88,35 @@ def _window_counts(bases, last_j, k, solid_fn):
     return solid, existing
 
 
-def _eval_candidate(bases, lengths, last_j, i, active, k, solid_fn):
-    """One candidate slot, vectorized over reads. Returns (bases, accepted)."""
+def _eval_entries(bases, lengths, last_j, ent_r, ent_i, k, solid_fn):
+    """Score all four substitutions for each flat (read, position) entry
+    against the round-start bases (DESIGN.md §8 v2). Entries with
+    ent_i < 0 are padding. Returns (best_b (Q,), accept (Q,))."""
     B, L = bases.shape
-    rows = jnp.arange(B, dtype=jnp.int32)
-    ic = jnp.clip(i, 0, L - 1)
+    Q = ent_r.shape[0]
+    ic = jnp.clip(ent_i, 0, L - 1)
+    lens_e = lengths[ent_r]
+    lj_e = last_j[ent_r]
 
-    offs = ic[:, None] + jnp.arange(-(k - 1), k, dtype=jnp.int32)  # (B, 2k-1)
-    oob = (offs < 0) | (offs >= lengths[:, None])
-    wb = bases[rows[:, None], jnp.clip(offs, 0, L - 1)]
-    wb = jnp.where(oob, 4, wb)                                     # (B, 2k-1)
+    offs = ic[:, None] + jnp.arange(-(k - 1), k, dtype=jnp.int32)  # (Q, 2k-1)
+    oob = (offs < 0) | (offs >= lens_e[:, None])
+    wb = bases[ent_r[:, None], jnp.clip(offs, 0, L - 1)]
+    wb = jnp.where(oob, 4, wb)                                     # (Q, 2k-1)
 
     center = jnp.arange(2 * k - 1) == (k - 1)
     bvals = jnp.arange(4, dtype=bases.dtype)
     wb4 = jnp.where(center[None, None, :], bvals[None, :, None],
-                    wb[:, None, :])                                # (B,4,2k-1)
+                    wb[:, None, :])                                # (Q,4,2k-1)
 
-    words, wvalid = extract_kmers(wb4, k)                          # (B,4,k,·)
+    words, wvalid = extract_kmers(wb4, k)                          # (Q,4,k,·)
     canon, _ = canonical_words(words, k)
 
-    jglob = ic[:, None] - (k - 1) + jnp.arange(k, dtype=jnp.int32)  # (B,k)
-    in_range = (jglob >= 0) & (jglob <= last_j[:, None])
+    jglob = ic[:, None] - (k - 1) + jnp.arange(k, dtype=jnp.int32)  # (Q,k)
+    in_range = (jglob >= 0) & (jglob <= lj_e[:, None])
     solid4 = solid_fn(canon, wvalid) & in_range[:, None, :]
-    scores = jnp.sum(solid4.astype(jnp.int32), axis=-1)            # (B,4)
+    scores = jnp.sum(solid4.astype(jnp.int32), axis=-1)            # (Q,4)
 
-    cur = bases[rows, ic]
+    cur = bases[ent_r, ic]
     cur_score = jnp.where(
         cur < 4,
         jnp.take_along_axis(scores, jnp.clip(cur, 0, 3)[:, None].astype(
@@ -119,17 +125,15 @@ def _eval_candidate(bases, lengths, last_j, i, active, k, solid_fn):
     best_s = jnp.max(scores, axis=1)
     best_b = jnp.argmax(scores, axis=1).astype(bases.dtype)  # first max wins
 
-    accept = (active & (i >= 0) & (best_b != cur)
+    accept = ((ent_i >= 0) & (best_b != cur)
               & (best_s > cur_score) & (best_s >= 1))
-    newb = jnp.where(accept, best_b, cur)
-    bases = bases.at[rows, ic].set(newb)
-    return bases, accept
+    return best_b, accept
 
 
 def correct_batch(bases, lengths, k: int, t: int, query_fn=None,
                   rounds: int = 2, max_runs: int = 8, max_edits: int = 8,
-                  solid_fn=None):
-    """Correct a padded read batch (DESIGN.md §8), bit-exact vs oracle.
+                  solid_fn=None, max_cands: int = 4):
+    """Correct a padded read batch (DESIGN.md §8 v2), bit-exact vs oracle.
 
     Args:
       bases: (B, L) int32, padded past `lengths` with 4.
@@ -140,6 +144,7 @@ def correct_batch(bases, lengths, k: int, t: int, query_fn=None,
         (DESIGN.md §8), so a packed-bitmap predicate
         (spectrum.bloom.query_solid) gives bit-identical output with far
         less gather traffic. Exactly one of query_fn / solid_fn required.
+      max_cands: per-round candidate cap (DESIGN.md §8 v2).
     Returns (corrected bases (B, L) int32, n_edits (B,) int32 — edits kept;
     0 where the read was reverted for exceeding max_edits).
     """
@@ -152,6 +157,55 @@ def correct_batch(bases, lengths, k: int, t: int, query_fn=None,
     last_j = lengths - k                       # may be negative (short reads)
     edits = jnp.zeros(B, dtype=jnp.int32)
     done = last_j < 0                          # reads shorter than k
+    BM = B * max_cands
+
+    def apply_at_width(Q, capped, livef):
+        """Evaluate + apply all live candidates, compacted to width Q.
+
+        The flat entry list is read-major/slot-order — exactly the oracle's
+        candidate-list order — so the conflict-suppression scan below sees
+        each read's earlier candidates at flat offsets -1..-(max_cands-1).
+        """
+        def go(args):
+            bases, edits, done = args
+            rank = jnp.cumsum(livef.astype(jnp.int32)) - 1
+            destf = jnp.where(livef, rank, Q)
+            sel = jnp.full(Q + 1, BM, jnp.int32).at[destf].set(
+                jnp.arange(BM, dtype=jnp.int32), mode="drop")[:Q]
+            pad = sel >= BM
+            selc = jnp.minimum(sel, BM - 1)
+            ent_r = selc // max_cands
+            ent_cc = selc % max_cands            # within-read candidate index
+            ent_i = jnp.where(pad, -1, capped.reshape(-1)[selc])
+
+            best_b, accept = _eval_entries(
+                bases, lengths, last_j, ent_r, ent_i, k, solid_fn)
+
+            # conflict suppression (DESIGN.md §8 v2): a read's candidates
+            # occupy consecutive flat slots in cc order, so earlier APPLIED
+            # edits of the same read sit at flat offsets 1..cc back.
+            applied = accept & (ent_cc == 0)
+            for p in range(1, max_cands):
+                conf = jnp.zeros(Q, dtype=bool)
+                for o in range(1, p + 1):
+                    pr_app = jnp.concatenate(
+                        [jnp.zeros(o, dtype=bool), applied[:-o]])
+                    pr_r = jnp.concatenate(
+                        [jnp.full(o, -1, jnp.int32), ent_r[:-o]])
+                    pr_i = jnp.concatenate(
+                        [jnp.full(o, -(k + 1), jnp.int32), ent_i[:-o]])
+                    conf = conf | (pr_app & (pr_r == ent_r)
+                                   & (jnp.abs(pr_i - ent_i) <= k - 1))
+                applied = applied | (accept & (ent_cc == p) & ~conf)
+
+            ic = jnp.clip(ent_i, 0, L - 1)
+            row = jnp.where(applied, ent_r, B)   # B = dropped
+            bases = bases.at[row, ic].set(best_b, mode="drop")
+            edits = edits.at[row].add(1, mode="drop")
+            made = jnp.zeros(B, jnp.int32).at[row].add(1, mode="drop") > 0
+            done = done | ~made
+            return bases, edits, done
+        return go
 
     def round_body(args):
         bases, edits, done = args
@@ -160,60 +214,37 @@ def correct_batch(bases, lengths, k: int, t: int, query_fn=None,
         any_solid = jnp.any(solid, axis=1)
         done = done | all_solid | ~any_solid
         active = ~done
+
         cands = _weak_run_candidates(solid, existing, last_j, k, max_runs)
+        cands = jnp.where(active[:, None], cands, -1)
 
-        cap = max(1, B // 8)
+        # per-read cap: first max_cands candidates, compacted to (B, max_cands)
+        live_row = cands >= 0
+        rr = jnp.cumsum(live_row.astype(jnp.int32), axis=1) - 1
+        keep = live_row & (rr < max_cands)
+        dest = jnp.where(
+            keep,
+            jnp.arange(B, dtype=jnp.int32)[:, None] * max_cands + rr, BM)
+        capped = jnp.full(BM, -1, jnp.int32).at[dest.reshape(-1)].set(
+            cands.reshape(-1), mode="drop").reshape(B, max_cands)
 
-        def slot(carry, cand_col):
-            bases, edits, made = carry
-            live = active & (cand_col >= 0)
-            n_live = jnp.sum(live.astype(jnp.int32))
+        livef = (capped >= 0).reshape(-1)
+        n_ent = jnp.sum(livef.astype(jnp.int32))
 
-            def full(args):
-                bases, edits, made = args
-                b2, acc = _eval_candidate(
-                    bases, lengths, last_j, cand_col, active, k, solid_fn)
-                return b2, edits + acc.astype(jnp.int32), made | acc
-
-            def compact(args):
-                # few live reads: gather them into a B/8 sub-batch, evaluate
-                # identically, scatter back — per-read math is unchanged, so
-                # results stay bit-exact (oracle-verified). The selector is a
-                # cumsum-rank scatter (a stable argsort here cost 7.6ms/slot
-                # on v5e — see experiments/correct_profile.py); padding slots
-                # point out of range and are dropped on scatter-back.
-                bases, edits, made = args
-                rank = jnp.cumsum(live.astype(jnp.int32)) - 1
-                dest = jnp.where(live, rank, cap)      # n_live <= cap here
-                sel = jnp.full(cap + 1, B, jnp.int32).at[dest].set(
-                    jnp.arange(B, dtype=jnp.int32), mode="drop")[:cap]
-                pad = sel >= B
-                selg = jnp.minimum(sel, B - 1)
-                b2, acc = _eval_candidate(
-                    bases[selg], lengths[selg], last_j[selg], cand_col[selg],
-                    live[selg] & ~pad, k, solid_fn)
-                return (bases.at[sel].set(b2, mode="drop"),
-                        edits.at[sel].add(acc.astype(jnp.int32), mode="drop"),
-                        made.at[sel].set(made[selg] | acc, mode="drop"))
-
-            def some(args):
-                return jax.lax.cond(n_live <= cap, compact, full, args)
-
-            bases, edits, made = jax.lax.cond(
-                n_live > 0, some, lambda a: a, (bases, edits, made))
-            return (bases, edits, made), None
-
-        (bases, edits, made_edit), _ = jax.lax.scan(
-            slot, (bases, edits, jnp.zeros(B, dtype=bool)),
-            jnp.transpose(cands))
-        done = done | ~made_edit
+        # width dispatch: most rounds have few candidates; jit compiles all
+        # three widths but runtime picks the smallest sufficient one.
+        ws = sorted({min(BM, max(128, B // 4)), min(BM, max(128, B)), BM})
+        f = apply_at_width(ws[-1], capped, livef)
+        for w in reversed(ws[:-1]):
+            f = (lambda fw, fbig, w: lambda a: jax.lax.cond(
+                n_ent <= w, fw, fbig, a))(
+                    apply_at_width(w, capped, livef), f, w)
+        bases, edits, done = jax.lax.cond(
+            n_ent > 0, f, lambda a: (a[0], a[1], jnp.ones_like(a[2])),
+            (bases, edits, done))
         return bases, edits, done
 
     for _ in range(rounds):
-        # NOTE: wrapping whole rounds in lax.cond exploded the TPU remote
-        # compile (>40 min); slot-level conds already skip all per-candidate
-        # work, so rounds run unconditionally (the residual cost is one
-        # window query).
         bases, edits, done = round_body((bases, edits, done))
 
     revert = edits > max_edits

@@ -69,8 +69,9 @@ def _score(R: np.ndarray, i: int, b: int, k: int, t: int, query) -> int:
 
 def correct_read(R: np.ndarray, k: int, t: int, query,
                  rounds: int = 2, max_runs: int = 8,
-                 max_edits: int = 8) -> np.ndarray:
-    """Correct one read. `query(canon)->count`. Returns new base array."""
+                 max_edits: int = 8, max_cands: int = 4) -> np.ndarray:
+    """Correct one read per DESIGN.md §8 v2 (round-parallel evaluation with
+    conflict suppression). `query(canon)->count`. Returns new base array."""
     L = len(R)
     if L < k:
         return R.copy()
@@ -86,8 +87,12 @@ def correct_read(R: np.ndarray, k: int, t: int, query,
         if not solid.any():
             break
         runs = _weak_runs(solid)
-        made_edit = False
-        for i in _candidates(runs, k, last_j, max_runs):
+        cands = _candidates(runs, k, last_j, max_runs)[:max_cands]
+        # v2: ALL candidates scored against the round-start R, then applied
+        # simultaneously unless within k-1 of an earlier-applied edit.
+        applied_pos = []
+        new_R = R.copy()
+        for i in cands:
             cur_b = int(R[i])
             cur_score = _score(R, i, cur_b, k, t, query) if cur_b < 4 else 0
             best_b, best_s = -1, -1
@@ -95,12 +100,14 @@ def correct_read(R: np.ndarray, k: int, t: int, query,
                 s = _score(R, i, b, k, t, query)
                 if s > best_s:
                     best_b, best_s = b, s
-            if best_b != cur_b and best_s > cur_score and best_s >= 1:
-                R[i] = best_b
-                edits_total += 1
-                made_edit = True
-        if not made_edit:
+            accept = best_b != cur_b and best_s > cur_score and best_s >= 1
+            if accept and all(abs(i - ip) >= k for ip in applied_pos):
+                new_R[i] = best_b
+                applied_pos.append(i)
+        if not applied_pos:
             break
+        R = new_R
+        edits_total += len(applied_pos)
     if edits_total > max_edits:
         return orig.astype(np.uint8)
     return R.astype(np.uint8)
