@@ -82,11 +82,52 @@ def main():
 
     reads_s = B_global * n_batches / dt
     kmers_s = total / dt
+
+    # correction weak-scaling (BASELINE >=0.8 applies to reads/s, i.e. the
+    # correct stage must scale too): mesh-sharded correct_batch against the
+    # merged replicated solidity bitmap — the production
+    # pipeline._correct_step_mesh layout.
+    from jax import shard_map
+    from jax.sharding import PartitionSpec
+    from kmerax.ops.correct import correct_batch
+    from kmerax.spectrum.bloom import query_solid, solidity_bitmap
+    from kmerax.spectrum.sharded import merge_and_replicate
+
+    merged = merge_and_replicate(mesh)(table)
+    bitmap = jax.jit(solidity_bitmap, static_argnums=0)(sp.bloom, merged, 3)
+    rspec = PartitionSpec(("data", "bucket"))
+    lengths = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, rspec),
+        np.full(batch_per_host, read_len, np.int32),
+        global_shape=(B_global,))
+
+    def local(bm, b, l):
+        sf = lambda cw, v: query_solid(sp.bloom, bm, cw, v)
+        return correct_batch(b, l, k, 3, solid_fn=sf,
+                             rounds=2, max_runs=8, max_edits=8)
+
+    sm = shard_map(local, mesh=mesh,
+                   in_specs=(PartitionSpec(None), rspec, rspec),
+                   out_specs=(rspec, rspec), check_vma=False)
+    cstep = jax.jit(lambda b, l: sm(bitmap, b, l))
+    tot = jax.jit(lambda x: jnp.sum(x))
+
+    nb_c = max(2, n_batches // 2)
+    _, ne = cstep(batches[0], lengths)
+    int(tot(ne))                         # compile + sync
+    t0 = time.perf_counter()
+    for i in range(nb_c):
+        _, ne = cstep(batches[i % 3], lengths)
+        int(tot(ne))
+    dt_c = time.perf_counter() - t0
+    correct_reads_s = B_global * nb_c / dt_c
+
     if pid == 0:
         print("SCALING_RESULT " + json.dumps({
             "hosts": nprocs, "devices": n_dev,
             "reads_per_s": round(reads_s, 1),
             "kmers_per_s": round(kmers_s, 1),
+            "correct_reads_per_s": round(correct_reads_s, 1),
             "wall_s": round(dt, 4)}), flush=True)
     if nprocs > 1:
         jax.distributed.shutdown()

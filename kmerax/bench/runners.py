@@ -104,10 +104,10 @@ def bench_correct(cfg: KmeraxConfig, n_reads: int = 4096,
         table = build(table, b)
     table.block_until_ready()
     lengths = jnp.full(n_reads, read_len, dtype=jnp.int32)
-    # production correct path: packed solidity bitmap (run.CountState.solid_fn)
-    from kmerax.spectrum.bloom import query_solid, solidity_bitmap
-    bitmap = jax.jit(solidity_bitmap, static_argnums=0)(params, table, 3)
-    sf = lambda cw, v: query_solid(params, bitmap, cw, v)
+    # production correct path (run.CountState.solid_fn): Pallas VMEM query
+    # kernel on TPU, packed solidity bitmap elsewhere
+    from kmerax.spectrum.bloom import make_solid_fn
+    sf = make_solid_fn(params, table, 3)
 
     @jax.jit
     def step(state, bases):

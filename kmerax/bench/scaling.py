@@ -66,8 +66,11 @@ def run_scaling(host_counts=(1, 2, 4), devices_per_host: int = 2,
         r = _run_point(n, devices_per_host, n_batches, batch_per_host)
         points.append(r)
     base = points[0]["reads_per_s"] / points[0]["hosts"]
+    cbase = points[0]["correct_reads_per_s"] / points[0]["hosts"]
     for r in points:
         r["efficiency"] = round(r["reads_per_s"] / (r["hosts"] * base), 4)
+        r["correct_efficiency"] = round(
+            r["correct_reads_per_s"] / (r["hosts"] * cbase), 4)
     return {"metric": "weak_scaling_efficiency",
             "backend": "cpu-emulated (loopback DCN)",
             "per_host_devices": devices_per_host,

@@ -28,6 +28,17 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--no-exact", action="store_true",
                    help="skip the exact spectrum (needs --threshold)")
     p.add_argument("--metrics", default=None, help="metrics.jsonl path")
+    # mesh / multi-host (SURVEY.md §3.4): mesh axes, then one process per
+    # host with --coordinator host:port --num-procs N --process-id P
+    # (or KMERAX_COORDINATOR / KMERAX_NUM_PROCS / KMERAX_PROCESS_INDEX)
+    p.add_argument("--mesh-data", type=int, default=None,
+                   help='mesh "data" axis size (DP over reads)')
+    p.add_argument("--mesh-bucket", type=int, default=None,
+                   help='mesh "bucket" axis size (spectrum sharding)')
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for jax.distributed")
+    p.add_argument("--num-procs", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
 
 
 def _cfg(args) -> KmeraxConfig:
@@ -38,6 +49,7 @@ def _cfg(args) -> KmeraxConfig:
         bloom_log2_width=args.bloom_log2_width,
         exact_capacity=args.exact_capacity,
         exact_spectrum=False if args.no_exact else None,
+        mesh_data=args.mesh_data, mesh_bucket=args.mesh_bucket,
     )
 
 
@@ -95,6 +107,12 @@ def main(argv=None) -> int:
                    help="host counts for --scaling")
 
     args = ap.parse_args(argv)
+
+    import os
+    if getattr(args, "coordinator", None) or os.environ.get(
+            "KMERAX_COORDINATOR"):
+        from kmerax.dist.mesh import init_distributed
+        init_distributed(args.coordinator, args.num_procs, args.process_id)
 
     from kmerax.utils.compile_cache import enable as _enable_cache
     _enable_cache()

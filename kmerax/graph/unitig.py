@@ -159,5 +159,8 @@ def assemble_to_fasta(cfg, state, out_fasta: str,
     arrays = jax.jit(unitig_arrays, static_argnums=2)(
         uniq, counts >= t, cfg.k)
     seqs = emit_unitigs(np.asarray(uniq), arrays, cfg.k)
-    write_fasta(out_fasta, seqs)
+    # multi-host: every process derives identical unitigs from the
+    # replicated spectrum (deterministic); process 0 is the sole writer.
+    if jax.process_index() == 0:
+        write_fasta(out_fasta, seqs)
     return len(seqs)

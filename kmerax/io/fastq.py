@@ -89,13 +89,18 @@ def read_fastq(path: str) -> list[FastqRecord]:
 
 
 class FastqWriter:
-    """Writes corrected reads; name/qual byte-identical, LF endings."""
+    """Writes corrected reads; name/qual byte-identical, LF endings.
 
-    def __init__(self, path: str):
-        self._f = _open_w(path)
+    path=None gives a no-op writer (non-writer processes of a multi-host
+    run still drive the batch loop but only process 0 writes)."""
+
+    def __init__(self, path: str | None):
+        self._f = _open_w(path) if path is not None else None
 
     def write(self, name: bytes, seq_bases: np.ndarray, qual: bytes,
               plus: bytes = b"+"):
+        if self._f is None:
+            return
         seq = bases_to_seq_bytes(np.asarray(seq_bases, dtype=np.uint8))
         self._f.write(b"@" + name + b"\n" + seq.tobytes() + b"\n" + plus
                       + b"\n" + qual + b"\n")
@@ -104,7 +109,8 @@ class FastqWriter:
         self.write(rec.name, seq_bases, rec.qual, rec.plus)
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
 
     def __enter__(self):
         return self

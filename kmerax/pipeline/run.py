@@ -24,7 +24,6 @@ from kmerax.ops.correct import correct_batch
 from kmerax.spectrum import (
     BloomParams, insert, lookup_sorted, make_table, merge_sorted, query,
 )
-from kmerax.spectrum.bloom import query_solid, solidity_bitmap
 from kmerax.spectrum.exact import (
     mask_invalid, sentinel_rows, sort_kmers, unique_counts,
 )
@@ -63,23 +62,46 @@ class CountState:
 
     def solid_fn(self, use_exact: bool = False):
         """Solidity predicate for ops.correct_batch (bit-identical to
-        `query_fn(...) >= threshold`). The bloom path queries a packed
-        bitmap (spectrum.bloom.solidity_bitmap): 128x smaller working set
-        than the int32 table, same decisions."""
+        `query_fn(...) >= threshold`). The bloom path uses the best
+        backend-specific probe (spectrum.bloom.make_solid_fn): the Pallas
+        VMEM-resident query kernel on TPU, else the packed solidity
+        bitmap."""
         if use_exact:
             qf = self.query_fn(use_exact=True)
             t = self.threshold
             return lambda cw, v: (qf(cw, v) >= t) & v
         params = _bloom_params(self.cfg, self.cfg.k)
-        bitmap = jax.jit(solidity_bitmap, static_argnums=0)(
-            params, self.bloom_table, self.threshold)
-        return lambda cw, v: query_solid(params, bitmap, cw, v)
+        from kmerax.spectrum.bloom import make_solid_fn
+        return make_solid_fn(params, self.bloom_table, self.threshold)
 
 
 def _bloom_params(cfg: KmeraxConfig, k: int) -> BloomParams:
     return BloomParams(k, cfg.bloom_log2_width, cfg.bloom_hashes,
                        cfg.minimizer_m, (cfg.num_buckets - 1).bit_length(),
                        cfg.bucket_scheme)
+
+
+def _feed_global(arr, sharding):
+    """Place a host batch array onto the mesh (SURVEY.md §3.4): plain
+    device_put single-process; in multi-host runs each process supplies only
+    its local_batch_slice rows via make_array_from_process_local_data (every
+    process streams the same global batches, so slices line up)."""
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    from kmerax.dist.mesh import local_batch_slice
+
+    arr = np.asarray(arr)
+    sl = local_batch_slice(sharding.mesh, arr.shape[0])
+    return jax.make_array_from_process_local_data(
+        sharding, arr[sl], global_shape=arr.shape)
+
+
+def _to_host_global(x) -> np.ndarray:
+    """Device array -> full global numpy array on every process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
 
 def _count_steps(cfg: KmeraxConfig, k: int):
@@ -188,7 +210,7 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
     n_reads = n_kmers = 0
     m.stage_start("count")
     for batch in BackgroundBatcher(paths, cfg.batch_reads, cfg.max_read_len):
-        bases = jax.device_put(jnp.asarray(batch.bases), reads_sh)
+        bases = _feed_global(batch.bases, reads_sh)
         table, exact, nk, ovf = step(table, exact, bases)
         if int(ovf) != 0:
             raise RuntimeError(
@@ -201,9 +223,10 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
     hist = None
     exact_state = None
     if exact is not None:
+        n_shard = _to_host_global(exact[2])
         for d in range(cfg.mesh_data):
             for s in range(S):
-                if int(np.asarray(exact[2])[d, s]) >= shard_cap:
+                if int(n_shard[d, s]) >= shard_cap:
                     raise RuntimeError("exact shard overflow: raise "
                                        "exact_capacity")
         uniq_np, counts_np = gather_exact_host(exact, k)
@@ -233,19 +256,59 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
                       sharded=sp)
 
 
+def _correct_step_mesh(cfg: KmeraxConfig, state: CountState):
+    """Mesh-distributed correct step (SURVEY.md §3.2): reads sharded over
+    ("data","bucket"), every device corrects its own rows against the
+    replicated solidity bitmap (2^LW bits — 128x smaller than the table, so
+    replication is cheap; BASELINE.json:5 DP correction). Per-read work is
+    independent, so shard_map(correct_batch) is bit-identical to the
+    single-device path (batch-split invariance, DESIGN.md §13)."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from kmerax.dist.mesh import AXIS_BUCKET, AXIS_DATA, MeshSpec, make_mesh
+    from kmerax.spectrum.bloom import query_solid, solidity_bitmap
+
+    ndev = cfg.mesh_data * cfg.mesh_bucket
+    if cfg.batch_reads % ndev != 0:
+        raise ValueError("batch_reads must divide by mesh size")
+    mesh = make_mesh(MeshSpec(cfg.mesh_data, cfg.mesh_bucket))
+    k, t = cfg.k, state.threshold
+    params = _bloom_params(cfg, k)
+    bitmap = jax.jit(solidity_bitmap, static_argnums=0)(
+        params, state.bloom_table, t)
+    rspec = P((AXIS_DATA, AXIS_BUCKET))
+
+    def local(bm, b, l):
+        sf = lambda cw, v: query_solid(params, bm, cw, v)
+        return correct_batch(b, l, k, t, solid_fn=sf, rounds=cfg.rounds,
+                             max_runs=cfg.max_runs, max_edits=cfg.max_edits)
+
+    sm = shard_map(local, mesh=mesh, in_specs=(P(None), rspec, rspec),
+                   out_specs=(rspec, rspec), check_vma=False)
+    step = jax.jit(lambda b, l: sm(bitmap, b, l))
+    rsh = NamedSharding(mesh, rspec)
+    return step, (lambda a: _feed_global(a, rsh))
+
+
 def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
                 metrics: Optional[MetricsWriter] = None,
                 use_exact: bool = False) -> dict:
     """Correct pass (SURVEY.md §3.2): stream -> correct_batch -> FASTQ."""
     m = metrics or MetricsWriter(None)
-    sf = state.solid_fn(use_exact)
     k, t = cfg.k, state.threshold
 
-    @jax.jit
-    def step(bases, lengths):
-        return correct_batch(bases, lengths, k, t, solid_fn=sf,
-                             rounds=cfg.rounds, max_runs=cfg.max_runs,
-                             max_edits=cfg.max_edits)
+    if cfg.mesh_data * cfg.mesh_bucket > 1 and not use_exact:
+        step, put = _correct_step_mesh(cfg, state)
+    else:
+        sf = state.solid_fn(use_exact)
+
+        @jax.jit
+        def step(bases, lengths):
+            return correct_batch(bases, lengths, k, t, solid_fn=sf,
+                                 rounds=cfg.rounds, max_runs=cfg.max_runs,
+                                 max_edits=cfg.max_edits)
+
+        put = jnp.asarray
 
     if isinstance(paths, str):
         paths = [paths]
@@ -258,23 +321,31 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
     else:
         groups = [(paths, out_path)]
 
+    # multi-host: every process streams + corrects its shard; process 0
+    # gathers corrected rows (process_allgather) and is the sole writer.
+    is_writer = jax.process_index() == 0
     n_reads = n_edited = n_edits = 0
     m.stage_start("correct")
     with maybe_trace("correct"):
         for gpaths, gout in groups:
-            with FastqWriter(gout) as out:
+            with FastqWriter(gout if is_writer else None) as out:
                 for batch in BackgroundBatcher(gpaths, cfg.batch_reads,
                                                cfg.max_read_len):
-                    fixed, ne = step(jnp.asarray(batch.bases),
-                                     jnp.asarray(batch.lengths))
-                    fixed = np.asarray(fixed)
-                    ne = np.asarray(ne)
-                    for i in range(batch.n):
-                        rec = batch.records[i]
-                        out.write_record(rec, fixed[i, :batch.lengths[i]])
+                    fixed, ne = step(put(batch.bases), put(batch.lengths))
+                    fixed = _to_host_global(fixed)
+                    ne = _to_host_global(ne)
+                    if is_writer:
+                        for i in range(batch.n):
+                            rec = batch.records[i]
+                            out.write_record(rec, fixed[i, :batch.lengths[i]])
                     n_reads += batch.n
                     n_edited += int((ne[:batch.n] > 0).sum())
                     n_edits += int(ne[:batch.n].sum())
+    if jax.process_count() > 1:
+        # downstream stages (assemble re-count) read the corrected FASTQ
+        # from the shared FS on every host — barrier until writes land
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("kmerax:correct_write")
     stats = {"reads": n_reads, "edited_reads": n_edited, "edits": n_edits}
     m.stage_end("correct", **stats)
     log.info("correct: %s", stats)

@@ -191,6 +191,25 @@ def query_solid(params: BloomParams, bitmap: jnp.ndarray,
     return solid
 
 
+def make_solid_fn(params: BloomParams, table: jnp.ndarray, t):
+    """Best solidity predicate for this backend/table: the Pallas
+    VMEM-resident query kernel on TPU (table fits VMEM), else the packed
+    solidity bitmap. Both are bit-identical to `query(...) >= t`.
+
+    Call OUTSIDE jit with a concrete table (the bitmap path packs it
+    eagerly); the returned fn is jit-safe.
+    """
+    from kmerax.spectrum.pallas_bloom import pallas_insert_ok, \
+        query_solid_pallas
+
+    if pallas_insert_ok(params, table_entries=table.shape[0]):
+        return lambda cw, v: query_solid_pallas(params, table, t, cw, v)
+    import jax
+
+    bitmap = jax.jit(solidity_bitmap, static_argnums=0)(params, table, t)
+    return lambda cw, v: query_solid(params, bitmap, cw, v)
+
+
 def query(params: BloomParams, table: jnp.ndarray,
           canon_words: jnp.ndarray,
           valid: jnp.ndarray | None = None,

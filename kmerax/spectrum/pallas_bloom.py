@@ -172,6 +172,128 @@ def insert_pallas(params, table, canon_words, valid, *,
     return out.reshape(-1)
 
 
+def _query_kernel(d: int, t_ref, blocks_ref, lp_ref, tbl_hbm, out_ref,
+                  tbl_ref, oh_ref, rowbuf, sem):
+    """One grid step: solidity-test CHUNK elements against the resident
+    count table (the Pallas "spectrum lookup" of BASELINE.json:5).
+
+    Same addressing and stage-A one-hot construction as _insert_kernel;
+    stage B gathers each element's 128-lane table row serially (manually
+    16x unrolled — pure load/store, no RMW); stage C tests all probed
+    lanes >= t vectorized over the whole chunk. An element is solid iff
+    every probed lane meets the threshold; invalid elements (zero one-hot
+    row, as in insert) fail the "any probed lane" test and report 0.
+    """
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        cp = pltpu.make_async_copy(tbl_hbm, tbl_ref, sem)
+        cp.start()
+        cp.wait()
+
+    nsub = CHUNK // 128
+    pos_s = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    eye = jnp.eye(128, dtype=jnp.bfloat16)
+
+    for sub in range(nsub):
+        row = lp_ref[sub:sub + 1, :]
+        lpb = jnp.broadcast_to(row, (128, 128))
+        oht = jnp.zeros((128, 128), dtype=jnp.int32)
+        for j in range(d):
+            oht = oht + ((lpb >> (7 * j)) & 127 == pos_s).astype(jnp.int32)
+        vmask = (lpb >> VALID_BIT) & 1
+        oht = (oht * vmask).astype(jnp.bfloat16)
+        oh = jax.lax.dot_general(
+            oht, eye, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        oh_ref[sub * 128:(sub + 1) * 128, :] = oh.astype(jnp.int32)
+
+    def body(g, _):
+        for v in range(2):
+            col = 2 * g + v
+            for u in range(8):
+                b = blocks_ref[0, u, col]
+                rowbuf[pl.ds(u * SUB + col, 1), :] = tbl_ref[pl.ds(b, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, SUB // 2, body, 0)
+
+    t = t_ref[0]
+    probed = (oh_ref[:] > 0).astype(jnp.int32)
+    nbad = jnp.sum(((rowbuf[:] < t) & (oh_ref[:] > 0)).astype(jnp.int32),
+                   axis=1, keepdims=True)
+    npro = jnp.sum(probed, axis=1, keepdims=True)
+    out_ref[:] = ((nbad == 0) & (npro > 0)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+def _query_pallas_flat(d: int, nrows: int, t, blocks, lp, interpret: bool,
+                       table2d):
+    """blocks/lp: flat (N,) int32 padded to CHUNK multiples. Returns
+    (N, 1) int32 solidity flags."""
+    n = blocks.shape[0]
+    nsteps = n // CHUNK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[
+            # index maps receive (grid idx, *scalar-prefetch refs)
+            pl.BlockSpec((1, 8, SUB), lambda c, t: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((CHUNK // 128, 128), lambda c, t: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),         # table stays in HBM
+        ],
+        out_specs=pl.BlockSpec((CHUNK, 1), lambda c, t: (c, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((nrows, 128), jnp.int32),
+                        pltpu.VMEM((CHUNK, 128), jnp.int32),
+                        pltpu.VMEM((CHUNK, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    f = pl.pallas_call(
+        functools.partial(_query_kernel, d),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(nrows * 128 * 4 + 32 * 1024 * 1024)),
+        cost_estimate=pl.CostEstimate(
+            flops=n * 400, bytes_accessed=n * 1100, transcendentals=0),
+        interpret=interpret,
+    )
+    return f(t.reshape(1), blocks.reshape(nsteps, 8, SUB),
+             lp.reshape(nsteps * CHUNK // 128, 128), table2d)
+
+
+def query_solid_pallas(params, table, t, canon_words, valid, *,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Pallas solidity predicate against the int32 count table: equivalent
+    to `bloom.query(...) >= t` (and bit-identical to
+    `bloom.query_solid(bitmap_built_with_t, ...)`). The table stays
+    VMEM-resident across the whole probe batch, so per-probe cost is a
+    serial VMEM row load instead of an XLA HBM gather (~11 cyc issue each,
+    experiments/scatter_lab.py)."""
+    from kmerax.spectrum.bloom import blocks_lanepack
+
+    block, lp = blocks_lanepack(params, canon_words)
+    fb = block.reshape(-1)
+    fl = lp.reshape(-1)
+    fv = valid.reshape(-1)
+    fb = jnp.where(fv, fb, 0)
+    fl = jnp.where(fv, fl | (1 << VALID_BIT), 0)
+    n = fb.shape[0]
+    pad = (-n) % CHUNK
+    if pad:
+        fb = jnp.concatenate([fb, jnp.zeros(pad, jnp.int32)])
+        fl = jnp.concatenate([fl, jnp.zeros(pad, jnp.int32)])
+    nrows = table.shape[0] // 128
+    out = _query_pallas_flat(params.num_hashes, nrows,
+                             jnp.asarray(t, jnp.int32), fb, fl, interpret,
+                             table.reshape(nrows, 128))
+    return out[:n, 0].reshape(valid.shape) > 0
+
+
 def pallas_insert_ok(params, backend: str | None = None,
                      table_entries: int | None = None) -> bool:
     """True when the Pallas insert path applies: TPU backend and the table

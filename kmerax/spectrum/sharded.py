@@ -268,10 +268,16 @@ def gather_exact_host(exact, k: int):
     and are deduped here (summing counts). Returns (uniq (N,W) np.uint32,
     counts (N,) np.int64) in global sorted order (DESIGN.md §6).
     """
+    def _host(x):
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
     uniq, counts, n = exact
-    uniq = np.asarray(uniq)
-    counts = np.asarray(counts)
-    n = np.asarray(n)
+    uniq = _host(uniq)
+    counts = _host(counts)
+    n = _host(n)
     D, S, cap, w = uniq.shape
     rows = []
     cnts = []

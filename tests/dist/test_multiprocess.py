@@ -69,3 +69,59 @@ def test_two_process_count_matches_single(tmp_path):
     assert int(got["nk"]) == int((np.asarray(want)).sum() // 4)
     assert np.array_equal(got["table"], want), \
         "2-process merged table != single-process table"
+
+
+def test_two_process_pipeline_byte_identical(tmp_path):
+    """PRODUCTION `kmerax pipeline` on 2 processes (2x4 mesh): corrected
+    FASTQ + contig FASTA byte-identical to the single-process 1x1 run
+    (DESIGN.md §13 mesh invariance, through the real CLI entry point)."""
+    from sim import ecoli_like, make_fastq
+
+    _, reads = ecoli_like(seed=77, genome_len=3000, coverage=40,
+                          read_len=100, error_rate=0.01)
+    fastq = tmp_path / "in.fastq"
+    fastq.write_bytes(make_fastq(reads))
+
+    here = os.path.dirname(__file__)
+    worker = os.path.join(here, "_mp_pipeline_worker.py")
+    coord = f"localhost:{_free_port()}"
+    # shared outdir (the shared-FS contract: assemble re-reads the
+    # corrected FASTQ on every host; only process 0 writes)
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coord, "2", str(pid), str(outdir),
+         str(fastq)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"worker {pid} OK" in out
+
+    assert (outdir / "corrected.fastq").exists()
+
+    # single-process reference through the same production entry point
+    from kmerax.config import KmeraxConfig
+    from kmerax.pipeline import run_pipeline
+
+    cfg = KmeraxConfig(k=31, bloom_log2_width=16, batch_reads=512,
+                       max_read_len=100, exact_capacity=1 << 16)
+    ref_fq = tmp_path / "ref.fastq"
+    ref_fa = tmp_path / "ref.fasta"
+    run_pipeline(cfg, [str(fastq)], str(ref_fq), out_fasta=str(ref_fa))
+
+    assert (outdir / "corrected.fastq").read_bytes() == \
+        ref_fq.read_bytes(), "multi-host corrected FASTQ differs"
+    assert (outdir / "contigs.fasta").read_bytes() == \
+        ref_fa.read_bytes(), "multi-host contig FASTA differs"

@@ -209,3 +209,30 @@ def test_pallas_insert_interpret_matches_xla(dataset, scheme, local_bits):
                           interpret=True)
     assert np.array_equal(np.asarray(t_xla), np.asarray(t_pal))
     assert int(np.asarray(t_pal).sum()) > 0
+
+
+@pytest.mark.parametrize("scheme", ["hash", "minimizer"])
+def test_pallas_query_interpret_matches_xla(dataset, scheme):
+    """Pallas VMEM solidity query (interpret mode) == query(...) >= t ==
+    bitmap query_solid, including invalid lanes."""
+    from kmerax.spectrum.bloom import query_solid, solidity_bitmap
+    from kmerax.spectrum.pallas_bloom import query_solid_pallas
+
+    _, reads = dataset
+    k = 31
+    params = BloomParams(k=k, log2_width=16, num_hashes=4,
+                         bucket_scheme=scheme)
+    bases = _batch(reads[:100])
+    words, valid = extract_kmers(bases, k)
+    canon, _ = canonical_words(words, k)
+    table = insert(params, jnp.zeros(params.width, jnp.int32), canon, valid)
+    valid = valid & (jnp.arange(valid.shape[1])[None, :] % 13 != 5)
+    for t in (1, 3):
+        want = (query(params, table, canon, valid) >= t) & valid
+        got = query_solid_pallas(params, table, t, canon, valid,
+                                 interpret=True)
+        assert np.array_equal(np.asarray(want), np.asarray(got))
+        bm = solidity_bitmap(params, table, t)
+        got2 = query_solid(params, bm, canon, valid)
+        assert np.array_equal(np.asarray(want), np.asarray(got2))
+    assert int(np.asarray(want).sum()) > 0
