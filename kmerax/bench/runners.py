@@ -85,12 +85,20 @@ def bench_count(cfg: KmeraxConfig, n_reads: int = 16384,
             "vs_baseline": round(rate / NOMINAL_KMERS_PER_S, 4)}
 
 
-def bench_correct(cfg: KmeraxConfig, n_reads: int = 4096,
+def bench_correct(cfg: KmeraxConfig, n_reads: int = 8192,
                   read_len: int = 150) -> dict:
-    """reads/s/chip for the correction engine."""
+    """reads/s/chip for the correction engine.
+
+    Coverage matters: weak-run candidate volume (correction work per read)
+    is set by how much of the spectrum clears the solid threshold. The
+    acceptance matrix is 30-80x coverage (BASELINE.md configs); genome_len
+    is sized so the two spectrum batches give ~37x, inside that band.
+    """
     k = cfg.k
     params = _bloom_params(cfg, k)
-    batches = [jnp.asarray(_sim_batch(n_reads, read_len, seed=s))
+    genome_len = 1 << 15
+    batches = [jnp.asarray(_sim_batch(n_reads, read_len, seed=s,
+                                      genome_len=genome_len))
                for s in range(2)]
 
     @jax.jit

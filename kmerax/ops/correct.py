@@ -38,21 +38,19 @@ def _weak_run_candidates(solid, existing, last_j, k, max_runs):
     run_end = weak & ~next_weak
     run_id = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1
 
-    j_idx = jnp.broadcast_to(jnp.arange(nk, dtype=jnp.int32), (B, nk))
-    rows = jnp.broadcast_to(
-        jnp.arange(B, dtype=jnp.int32)[:, None], (B, nk))
-    dead = B * max_runs
-
-    def scatter_first(cond):
-        tgt = jnp.where(cond & (run_id < max_runs),
-                        rows * max_runs + run_id, dead)
-        out = jnp.full(B * max_runs, -1, dtype=jnp.int32)
-        return out.at[tgt.reshape(-1)].set(
-            j_idx.reshape(-1), mode="drop").reshape(B, max_runs)
-
-    j0 = scatter_first(run_start)
-    j1 = scatter_first(run_end)
-    have = j0 >= 0
+    # r-th run's [j0, j1] via per-run argmax reduces — vectorized VPU
+    # passes instead of element scatters (XLA scatters serialize at ~11
+    # cyc/elem on v5e; this was ~70% of the candidate-derivation cost)
+    j0s, j1s, haves = [], [], []
+    for r in range(max_runs):
+        ms = run_start & (run_id == r)
+        me = run_end & (run_id == r)
+        j0s.append(jnp.argmax(ms, axis=1).astype(jnp.int32))
+        j1s.append(jnp.argmax(me, axis=1).astype(jnp.int32))
+        haves.append(jnp.any(ms, axis=1))
+    have = jnp.stack(haves, axis=1)                       # (B, max_runs)
+    j0 = jnp.where(have, jnp.stack(j0s, axis=1), -1)
+    j1 = jnp.where(have, jnp.stack(j1s, axis=1), -1)
     lj = last_j[:, None]
 
     interior = (j0 > 0) & (j1 < lj)
@@ -103,17 +101,45 @@ def _eval_entries(bases, lengths, last_j, ent_r, ent_i, k, solid_fn):
     wb = bases[ent_r[:, None], jnp.clip(offs, 0, L - 1)]
     wb = jnp.where(oob, 4, wb)                                     # (Q, 2k-1)
 
-    center = jnp.arange(2 * k - 1) == (k - 1)
-    bvals = jnp.arange(4, dtype=bases.dtype)
-    wb4 = jnp.where(center[None, None, :], bvals[None, :, None],
-                    wb[:, None, :])                                # (Q,4,2k-1)
+    # Extract window words ONCE per entry, then derive the 4 center-base
+    # variants by XOR-ing the (statically positioned) center bits — the
+    # shift-register fold costs ~30 passes over (Q,4,k) when re-run per
+    # variant vs 3 cheap ops here. Window j covers wb[j : j+k]; the center
+    # sits at window-relative q = k-1-j; core.kmers packs little-endian
+    # word wi over window positions [max(k-16(wi+1),0), k-16wi) with the
+    # leftmost base highest, so q lives at shift 2*(hi-1-q) of word wi —
+    # all static per j. An N center packs as 0 bits ((b&7)&3) and deltas
+    # use old&3, so variants overwrite it correctly; window validity is
+    # computed with the center forced valid (every variant has a real base
+    # there), matching the per-variant extraction exactly.
+    import numpy as _np
+    W = (k + 15) // 16
+    wi_j = _np.empty(k, _np.int32)
+    sh_j = _np.empty(k, _np.int32)
+    for j in range(k):
+        q = k - 1 - j
+        for wi in range(W):
+            lo, hi = max(k - 16 * (wi + 1), 0), k - 16 * wi
+            if lo <= q < hi:
+                wi_j[j] = wi
+                sh_j[j] = 2 * (hi - 1 - q)
+    words0, _ = extract_kmers(wb, k)                               # (Q,k,W)
+    _, wvalid = extract_kmers(wb.at[:, k - 1].set(0), k)           # (Q,k)
 
-    words, wvalid = extract_kmers(wb4, k)                          # (Q,4,k,·)
-    canon, _ = canonical_words(words, k)
+    old_c = (wb[:, k - 1] & 3).astype(jnp.uint32)                  # (Q,)
+    bvals4 = jnp.arange(4, dtype=jnp.uint32)
+    delta = ((old_c[:, None] ^ bvals4[None, :])[:, :, None]
+             << jnp.asarray(sh_j, jnp.uint32)[None, None, :])      # (Q,4,k)
+    at_word = (jnp.arange(W, dtype=jnp.int32)[None, None, None, :]
+               == jnp.asarray(wi_j)[None, None, :, None])          # (1,1,k,W)
+    words4 = words0[:, None] ^ jnp.where(at_word, delta[..., None],
+                                         jnp.uint32(0))            # (Q,4,k,W)
+    canon, _ = canonical_words(words4, k)
 
     jglob = ic[:, None] - (k - 1) + jnp.arange(k, dtype=jnp.int32)  # (Q,k)
     in_range = (jglob >= 0) & (jglob <= lj_e[:, None])
-    solid4 = solid_fn(canon, wvalid) & in_range[:, None, :]
+    wvalid4 = jnp.broadcast_to(wvalid[:, None, :], words4.shape[:-1])
+    solid4 = solid_fn(canon, wvalid4) & in_range[:, None, :]
     scores = jnp.sum(solid4.astype(jnp.int32), axis=-1)            # (Q,4)
 
     cur = bases[ent_r, ic]
@@ -219,21 +245,20 @@ def correct_batch(bases, lengths, k: int, t: int, query_fn=None,
         cands = jnp.where(active[:, None], cands, -1)
 
         # per-read cap: first max_cands candidates, compacted to (B, max_cands)
+        # via per-slot masked-max reduces (no scatters; cands >= 0 when live)
         live_row = cands >= 0
         rr = jnp.cumsum(live_row.astype(jnp.int32), axis=1) - 1
-        keep = live_row & (rr < max_cands)
-        dest = jnp.where(
-            keep,
-            jnp.arange(B, dtype=jnp.int32)[:, None] * max_cands + rr, BM)
-        capped = jnp.full(BM, -1, jnp.int32).at[dest.reshape(-1)].set(
-            cands.reshape(-1), mode="drop").reshape(B, max_cands)
+        capped = jnp.stack(
+            [jnp.max(jnp.where(live_row & (rr == s), cands, -1), axis=1)
+             for s in range(max_cands)], axis=1)
 
         livef = (capped >= 0).reshape(-1)
         n_ent = jnp.sum(livef.astype(jnp.int32))
 
         # width dispatch: most rounds have few candidates; jit compiles all
-        # three widths but runtime picks the smallest sufficient one.
-        ws = sorted({min(BM, max(128, B // 4)), min(BM, max(128, B)), BM})
+        # widths but runtime picks the smallest sufficient one.
+        ws = sorted({min(BM, max(128, B // 4)), min(BM, max(128, B)),
+                     min(BM, max(128, 2 * B)), BM})
         f = apply_at_width(ws[-1], capped, livef)
         for w in reversed(ws[:-1]):
             f = (lambda fw, fbig, w: lambda a: jax.lax.cond(
