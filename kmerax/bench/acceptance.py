@@ -130,9 +130,14 @@ def _accuracy(in_reads, out_paths) -> dict:
             "gain": round(gain, 4)}
 
 
-def run_config(n: int, scale: float = 1.0, workdir: str | None = None,
+def run_config(n: int, scale="1.0", workdir: str | None = None,
                seed: int = 42) -> dict:
-    """Run acceptance config `n` end-to-end; returns the metrics dict."""
+    """Run acceptance config `n` end-to-end; returns the metrics dict.
+
+    scale: genome-length multiplier of the spec's scale-down base, or the
+    string "full" for the real dataset size (e.g. config 1 = the 4.6Mb
+    E. coli genome, ~1.5M PE150 reads at 50x).
+    """
     import tempfile
 
     import jax
@@ -141,6 +146,9 @@ def run_config(n: int, scale: float = 1.0, workdir: str | None = None,
     from kmerax.pipeline.twopass import run_two_pass
 
     spec = CONFIGS[n]
+    if scale == "full":
+        scale = spec.full_genome_len / spec.genome_len
+    scale = float(scale)
     if workdir is None:
         workdir = tempfile.mkdtemp(prefix=f"kmerax_acc{n}_")
     os.makedirs(workdir, exist_ok=True)
@@ -154,14 +162,16 @@ def run_config(n: int, scale: float = 1.0, workdir: str | None = None,
     n_reads = sum(len(r) for r in sim_reads)
 
     # distinct k-mers ~ genome + error-induced novels (each error spawns up
-    # to k unseen k-mers); 4x margin, pow2
+    # to ~k unseen k-mers, clustered); 1.75x margin, pow2
     distinct = (len(genome)
                 + n_reads * spec.read_len * spec.error_rate * spec.k)
-    cap = 1 << max(13, int(np.ceil(np.log2(distinct * 4))))
-    width = max(18, min(24, int(np.ceil(np.log2(len(genome) * 16)))))
+    cap = 1 << max(13, int(np.ceil(np.log2(distinct * 1.75))))
+    # Bloom load <= ~0.5 probes/counter so solidity stays discriminative
+    width = max(18, min(30, int(np.ceil(np.log2(distinct * 6)))))
+    batch_reads = 4096 if n_reads >= 64 * 1024 else 1024
     cfg = KmeraxConfig(
         k=spec.k, k2=spec.k2, mesh_data=mesh_d, mesh_bucket=mesh_b,
-        exact_capacity=cap, batch_reads=1024,
+        exact_capacity=cap, batch_reads=batch_reads,
         max_read_len=spec.read_len + 10, bloom_log2_width=width)
     out_fastq = [os.path.join(workdir, f"corrected_{i+1}.fastq")
                  for i in range(len(paths))]
@@ -193,6 +203,11 @@ def run_config(n: int, scale: float = 1.0, workdir: str | None = None,
                 corrected_fastq=out_fastq if len(out_fastq) > 1
                 else out_fastq[0])
             result["unitigs"] = n_unitigs
+            # seed-extend validation stage (DESIGN.md §10b): corrected
+            # reads aligned back to the contigs
+            from kmerax.pipeline import run_align
+            result["validate"] = run_align(cfg, out_fastq, out_fasta,
+                                           metrics=m)
         m.close()
         out_list = out_fastq
     wall = time.perf_counter() - t0

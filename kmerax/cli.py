@@ -81,11 +81,22 @@ def main(argv=None) -> int:
     p.add_argument("--spectrum", help="spectrum dir from `count`")
     p.add_argument("--out", required=True, help="contig FASTA path")
 
+    p = sub.add_parser("align", help="seed-extend align/validate reads "
+                                     "against contigs (DESIGN.md 10b)")
+    _add_common(p)
+    p.add_argument("--in", dest="inputs", nargs="+", required=True)
+    p.add_argument("--contigs", required=True, help="contig FASTA")
+    p.add_argument("--out", default=None, help="per-read TSV "
+                   "(name, found, strand, pos, score, identity)")
+
     p = sub.add_parser("pipeline", help="count+correct(+assemble) end to end")
     _add_common(p)
     p.add_argument("--in", dest="inputs", nargs="+", required=True)
     p.add_argument("--out-fastq", required=True)
     p.add_argument("--out-fasta", default=None)
+    p.add_argument("--validate", action="store_true",
+                   help="after assemble: seed-extend align corrected reads "
+                        "back to the contigs and report identity")
     p.add_argument("--k2", type=int, default=None,
                    help="second-pass k for correct+assemble (BASELINE config 5)")
 
@@ -97,8 +108,9 @@ def main(argv=None) -> int:
     p.add_argument("--acceptance", type=int, default=None, metavar="N",
                    help="run BASELINE.md acceptance config N (1-5) "
                         "end-to-end on simulated data")
-    p.add_argument("--scale", type=float, default=1.0,
-                   help="genome scale factor for --acceptance")
+    p.add_argument("--scale", default="1.0",
+                   help="genome scale factor for --acceptance, or 'full' "
+                        "for the real dataset size (config 1 = 4.6Mb)")
     p.add_argument("--scaling", action="store_true",
                    help="multi-host weak-scaling efficiency (emulated "
                         "hosts on CPU; run on a real slice for BASELINE "
@@ -150,6 +162,13 @@ def main(argv=None) -> int:
         n = assemble_to_fasta(cfg, state, args.out)
         print(json.dumps({"unitigs": n, "threshold": state.threshold}))
 
+    elif args.cmd == "align":
+        from kmerax.pipeline.run import run_align
+        from kmerax.utils.metrics import MetricsWriter
+        stats = run_align(cfg, args.inputs, args.contigs, out_tsv=args.out,
+                          metrics=MetricsWriter(args.metrics))
+        print(json.dumps(stats))
+
     elif args.cmd == "pipeline":
         from kmerax.pipeline import run_pipeline
         if args.k2:
@@ -159,7 +178,8 @@ def main(argv=None) -> int:
                                   metrics_path=args.metrics)
         else:
             result = run_pipeline(cfg, args.inputs, args.out_fastq,
-                                  args.out_fasta, metrics_path=args.metrics)
+                                  args.out_fasta, metrics_path=args.metrics,
+                                  validate=args.validate)
         print(json.dumps(result))
 
     elif args.cmd == "bench":

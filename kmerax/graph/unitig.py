@@ -92,13 +92,19 @@ def _rc(s: str) -> str:
 
 
 def emit_unitigs(uniq_np: np.ndarray, arrays: dict, k: int) -> list[str]:
-    """Host-side sequence emission + canonicalization (DESIGN.md §9)."""
+    """Host-side sequence emission + canonicalization (DESIGN.md §9).
+
+    Fully numpy-vectorized: all chain bases land in one flat uint8 code
+    buffer via fancy indexing (plus its per-chain-reversed complement for
+    canonicalization); per-unitig Python work is O(#unitigs) byte-slice
+    operations, never per-base loops — chr21-scale chains stay cheap.
+    """
     end = np.asarray(arrays["end"])
     dist = np.asarray(arrays["dist"])
     is_start = np.asarray(arrays["is_start"])
     was_cycle = np.asarray(arrays["was_cycle"])
     active = np.asarray(arrays["active"])
-    last_base = np.asarray(arrays["last_base"])
+    last_base = np.asarray(arrays["last_base"]).astype(np.uint8)
 
     idx = np.nonzero(active)[0]
     if len(idx) == 0:
@@ -107,33 +113,66 @@ def emit_unitigs(uniq_np: np.ndarray, arrays: dict, k: int) -> list[str]:
     order = np.lexsort((-dist[idx], end[idx]))
     idx = idx[order]
     ends = end[idx]
-    starts_at = np.nonzero(np.concatenate(
-        [[True], ends[1:] != ends[:-1]]))[0]
+    first = np.concatenate([[True], ends[1:] != ends[:-1]])
+    starts_at = np.nonzero(first)[0]
     bounds = np.append(starts_at, len(idx))
+    heads = idx[starts_at]
 
-    # decode the k bases of an oriented start k-mer
-    def start_bases(enc: int) -> str:
-        u, o = enc >> 1, enc & 1
-        words = uniq_np[u]
-        v = 0
-        for i in range(len(words) - 1, -1, -1):
-            v = (v << 32) | int(words[i])
-        s = "".join(_BASES[(v >> (2 * (k - 1 - i))) & 3] for i in range(k))
-        return s if o == 0 else _rc(s)
+    keep = is_start[heads] & ~(was_cycle[heads] & ((heads & 1) == 1))
+    ci = np.nonzero(keep)[0]
+    if len(ci) == 0:
+        return []
+    lo, hi = bounds[ci], bounds[ci + 1]
+    nlens = hi - lo                                  # nodes per kept chain
+    seq_lens = (k - 1) + nlens                       # k start + (n-1) body
+    S = len(ci)
+    offs = np.concatenate([[0], np.cumsum(seq_lens)])
+    total = int(offs[-1])
+    out = np.empty(total, np.uint8)
 
+    # start k-mer decode, vectorized over chains: base i of the forward
+    # k-mer lives at a static (word, shift) per i (core.kmers packing)
+    hk = heads[ci]
+    u, o = hk >> 1, hk & 1
+    words = uniq_np[u].astype(np.uint32)             # (S, W)
+    sb = np.empty((S, k), np.uint8)
+    for i in range(k):
+        wi = 0
+        while not (max(k - 16 * (wi + 1), 0) <= i < k - 16 * wi):
+            wi += 1
+        shift = 2 * ((k - 16 * wi) - 1 - i)
+        sb[:, i] = (words[:, wi] >> shift) & 3
+    sb = np.where((o == 1)[:, None], 3 - sb[:, ::-1], sb)
+    head_pos = offs[:-1, None] + np.arange(k)[None, :]
+    out[head_pos.reshape(-1)] = sb.reshape(-1)
+
+    # body bases: element e of idx belongs to chain cid[e] at rank r[e];
+    # kept chains map to compact slot c; rank r >= 1 appends one base at
+    # offs[c] + k - 1 + r
+    cid = np.cumsum(first) - 1                       # per element of idx
+    rank = np.arange(len(idx)) - starts_at[cid]
+    slot = np.full(len(bounds) - 1, -1, np.int64)
+    slot[ci] = np.arange(S)
+    sl = slot[cid]
+    sel = (sl >= 0) & (rank >= 1)
+    pos = offs[sl[sel]] + (k - 1) + rank[sel]
+    out[pos] = last_base[idx[sel]]
+
+    # canonicalization: rc buffer = complement of per-chain-reversed codes
+    e_pos = np.arange(total)
+    seg = np.searchsorted(offs, e_pos, side="right") - 1
+    rev_idx = offs[seg] + (offs[seg + 1] - 1) - e_pos
+    rc = (3 - out)[rev_idx]
+
+    table = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fwd_b = table[out].tobytes()
+    rc_b = table[rc].tobytes()
     seqs = set()
-    for si in range(len(starts_at)):
-        lo, hi = bounds[si], bounds[si + 1]
-        chain = idx[lo:hi]
-        s0 = chain[0]
-        if not is_start[s0]:
-            continue  # defensive: every active chain head must be a start
-        if was_cycle[s0] and (s0 & 1) == 1:
-            continue  # flipped twin emits this cycle (DESIGN.md §9)
-        seq = start_bases(int(s0)) + "".join(
-            _BASES[int(last_base[n])] for n in chain[1:])
-        seqs.add(min(seq, _rc(seq)))
-    return sorted(seqs, key=lambda s: (-len(s), s))
+    for c in range(S):
+        a, b = int(offs[c]), int(offs[c + 1])
+        seqs.add(min(fwd_b[a:b], rc_b[a:b]))
+    return sorted((s.decode("ascii") for s in seqs),
+                  key=lambda s: (-len(s), s))
 
 
 def assemble_to_fasta(cfg, state, out_fasta: str,

@@ -84,6 +84,107 @@ def banded_align_scores(query, target, qlen, tlen, band: int):
     return jnp.where(jnp.abs(tlen - qlen) <= band, score, NEG_INF)
 
 
+def build_contig_index(contig_bases: list, k: int, chunk: int = 1 << 20):
+    """Device-extracted, host-deduped read-to-contig index (DESIGN.md §10b).
+
+    contig_bases: list of uint8 arrays. Returns (cat (N,) int8 numpy,
+    uniq (M, W) uint32 device rows sorted, payload (M,) int32 device =
+    pos << 1 | fwd, smallest pos per canonical k-mer). Extraction runs on
+    device in fixed overlapping chunks (one compile); the dedup is the
+    host radix merge (cheap, index build is once per run).
+    """
+    import numpy as np
+
+    from kmerax.core.codec import canonical_words
+    from kmerax.core.kmers import extract_kmers
+    from kmerax.spectrum.exact import SENTINEL_WORD
+
+    w = (k + 15) // 16
+    sep = np.full(k - 1, 4, np.uint8)
+    parts = []
+    for i, c in enumerate(contig_bases):
+        if i:
+            parts.append(sep)
+        parts.append(np.asarray(c, dtype=np.uint8))
+    cat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    N = len(cat)
+    assert N < (1 << 30), "contig index positions must fit int32 payloads"
+    if N < k:
+        return cat, jnp.full((1, w), SENTINEL_WORD, jnp.uint32), \
+            jnp.zeros(1, jnp.int32)
+
+    CL = chunk + k - 1
+
+    @jax.jit
+    def ext(b):
+        words, valid = extract_kmers(b[None], k)
+        canon, fwd = canonical_words(words, k)
+        return canon[0], fwd[0], valid[0]
+
+    rows_l, pay_l = [], []
+    for s0 in range(0, N - k + 1, chunk):
+        piece = cat[s0:s0 + CL].astype(np.int32)
+        nw = min(chunk, (N - k + 1) - s0)
+        if len(piece) < CL:
+            piece = np.concatenate(
+                [piece, np.full(CL - len(piece), 4, np.int32)])
+        canon, fwd, valid = ext(jnp.asarray(piece))
+        canon = np.asarray(canon)[:nw]
+        fwd = np.asarray(fwd)[:nw]
+        valid = np.asarray(valid)[:nw]
+        pos = np.arange(s0, s0 + nw, dtype=np.int64)
+        rows_l.append(canon[valid])
+        pay_l.append((pos[valid] << 1) | fwd[valid])
+    rows = np.concatenate(rows_l, axis=0)
+    pay = np.concatenate(pay_l, axis=0)
+    if len(rows) == 0:
+        return cat, jnp.full((1, w), SENTINEL_WORD, jnp.uint32), \
+            jnp.zeros(1, jnp.int32)
+    # sort by (kmer, payload); first occurrence per kmer = smallest pos
+    order = np.lexsort((pay,) + tuple(rows[:, i] for i in range(w)))
+    rows, pay = rows[order], pay[order]
+    first = np.concatenate([[True], np.any(rows[1:] != rows[:-1], axis=1)])
+    return cat, jnp.asarray(rows[first]), \
+        jnp.asarray(pay[first].astype(np.int32))
+
+
+def validate_batch(cat_dev, index_uniq, index_pay, bases, lengths,
+                   k: int, band: int):
+    """Batched seed-extend read validation (DESIGN.md §10b), bit-exact vs
+    oracle.validate_read. Returns (found (B,), strand (B,), pos (B,),
+    score (B,) — NEG_INF when unaligned)."""
+    from kmerax.core.codec import canonical_words
+    from kmerax.core.kmers import extract_kmers
+
+    B, Lmax = bases.shape
+    bases = bases.astype(jnp.int32)
+    words, valid = extract_kmers(bases, k)
+    canon, is_fwd = canonical_words(words, k)
+    off, payload, found = seed_positions(canon, valid, index_uniq, index_pay)
+    rfwd = jnp.take_along_axis(is_fwd, off[:, None], axis=1)[:, 0]
+    cfwd = (payload & 1) == 1
+    pos = payload >> 1
+    strand = (found & (rfwd != cfwd)).astype(jnp.int32)
+
+    irev = lengths[:, None] - 1 - jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+    rcb = bases[jnp.arange(B)[:, None], jnp.clip(irev, 0, Lmax - 1)]
+    rcb = jnp.where((irev >= 0) & (rcb < 4), 3 - rcb, 4)
+    Q = jnp.where((strand == 1)[:, None], rcb, bases)
+    jq = jnp.where(strand == 1, lengths - k - off, off)
+    start = pos - jq
+
+    M = cat_dev.shape[0]
+    tidx = start[:, None] + jnp.arange(Lmax, dtype=jnp.int32)[None, :]
+    oob = (tidx < 0) | (tidx >= M) | ~found[:, None]
+    T = jnp.where(oob, 4,
+                  cat_dev[jnp.clip(tidx, 0, M - 1)].astype(jnp.int32))
+    score = banded_align_scores(Q, T, lengths, lengths, band)
+    score = jnp.where(found & (lengths >= k), score, NEG_INF)
+    found = found & (lengths >= k)
+    return found, jnp.where(found, strand, 0), \
+        jnp.where(found, pos, -1), score
+
+
 def seed_positions(read_canon, read_valid, index_uniq, index_pos):
     """First-seed lookup: for each read, the first valid k-mer with an exact
     hit in the target k-mer index (SURVEY.md §3.3 "seed-extend").

@@ -22,11 +22,9 @@ from kmerax.io.batcher import BackgroundBatcher
 from kmerax.io.fastq import FastqWriter
 from kmerax.ops.correct import correct_batch
 from kmerax.spectrum import (
-    BloomParams, insert, lookup_sorted, make_table, merge_sorted, query,
+    BloomParams, SENTINEL_WORD, insert, lookup_sorted, make_table, query,
 )
-from kmerax.spectrum.exact import (
-    mask_invalid, sentinel_rows, sort_kmers, unique_counts,
-)
+from kmerax.spectrum.exact import mask_invalid, sentinel_rows
 from kmerax.spectrum.histogram import count_histogram, solid_threshold
 from kmerax.utils.logging import get_logger
 from kmerax.utils.metrics import MetricsWriter
@@ -105,9 +103,22 @@ def _to_host_global(x) -> np.ndarray:
 
 
 def _count_steps(cfg: KmeraxConfig, k: int):
-    """Build the jitted per-batch count step(s) for this config."""
+    """Build the jitted per-batch count step(s) for this config.
+
+    Exact-spectrum accumulation is AMORTIZED: per batch, raw masked k-mer
+    rows are appended into a pending buffer (one dynamic_update_slice — no
+    sort); the O(cap log cap) sort+dedup merge runs only when the buffer
+    fills (every PEND_M batches) and once at stage end. Counts are
+    order-independent sums, so the merged spectrum is bit-identical to the
+    per-batch-merge formulation for any merge schedule (DESIGN.md §13).
+    """
     params = _bloom_params(cfg, k)
     w = (k + 15) // 16
+    pend_rows = cfg.batch_reads * (cfg.max_read_len - k + 1)
+    # buffer ~cap/2 raw rows per flush: flush count stays O(stream/cap)
+    # regardless of batch size, so per-batch cost is flat at any scale
+    pend_m = max(1, (cfg.exact_capacity // 2) // pend_rows)
+    P = pend_m * pend_rows
 
     @jax.jit
     def bloom_step(table, bases):
@@ -117,19 +128,27 @@ def _count_steps(cfg: KmeraxConfig, k: int):
         return table, jnp.sum(valid.astype(jnp.int32))
 
     @jax.jit
-    def exact_batch(bases):
+    def pend_append(pending, off, bases):
         words, valid = extract_kmers(bases, k)
         canon, _ = canonical_words(words, k)
         flat = mask_invalid(canon, valid).reshape(-1, w)
-        return unique_counts(sort_kmers(flat))
+        return jax.lax.dynamic_update_slice(pending, flat, (off, 0))
 
-    @jax.jit
-    def exact_merge(uniq, counts, buniq, bcounts):
-        mu, mc, mn = merge_sorted(uniq, counts, buniq, bcounts)
-        cap = cfg.exact_capacity
-        return mu[:cap], mc[:cap], mn
+    def exact_flush(uniq_np, counts_np, pending, off):
+        """Host merge (spectrum.exact.np_merge_counted): giant 1-D device
+        sorts pad ~64x on TPU — one D2H of the raw buffer + a host radix
+        merge is far cheaper and bit-identical (counts are order-free sums).
+        """
+        from kmerax.spectrum.exact import np_merge_counted
 
-    return params, bloom_step, exact_batch, exact_merge
+        pend = np.asarray(pending)[:off]
+        pend = pend[~np.all(pend == np.uint32(SENTINEL_WORD), axis=1)]
+        rows = np.concatenate([uniq_np, pend], axis=0)
+        wts = np.concatenate(
+            [counts_np, np.ones(len(pend), dtype=np.int64)])
+        return np_merge_counted(rows, wts)
+
+    return params, bloom_step, pend_append, exact_flush, P, pend_rows
 
 
 def run_count(cfg: KmeraxConfig, paths, k: Optional[int] = None,
@@ -139,14 +158,17 @@ def run_count(cfg: KmeraxConfig, paths, k: Optional[int] = None,
         return _run_count_sharded(cfg, paths, k, metrics)
     k = k or cfg.k
     m = metrics or MetricsWriter(None)
-    params, bloom_step, exact_batch, exact_merge = _count_steps(cfg, k)
+    (params, bloom_step, pend_append, exact_flush, P,
+     pend_rows) = _count_steps(cfg, k)
     table = make_table(params)
     exact = None
+    pending = None
+    host_ex = None
+    off = 0
     if cfg.exact_spectrum:
         cap, w = cfg.exact_capacity, (k + 15) // 16
-        exact = (sentinel_rows(cap, w),
-                 jnp.zeros(cap, dtype=jnp.int32),
-                 jnp.zeros((), dtype=jnp.int32))
+        host_ex = (np.zeros((0, w), np.uint32), np.zeros(0, np.int64))
+        pending = sentinel_rows(P, w)
 
     n_reads = n_kmers = 0
     m.stage_start("count")
@@ -155,24 +177,36 @@ def run_count(cfg: KmeraxConfig, paths, k: Optional[int] = None,
                                        cfg.max_read_len):
             bases = jnp.asarray(batch.bases)
             table, nk = bloom_step(table, bases)
-            if exact is not None:
-                bu, bc, _ = exact_batch(bases)
-                uniq, counts, n = exact_merge(exact[0], exact[1], bu, bc)
-                exact = (uniq, counts, n)
+            if host_ex is not None:
+                pending = pend_append(pending, jnp.int32(off), bases)
+                off += pend_rows
+                if off == P:
+                    host_ex = exact_flush(*host_ex, pending, off)
+                    off = 0
             n_reads += batch.n
             n_kmers += int(nk)
-    if exact is not None:
-        n_unique = int(exact[2])
-        if n_unique >= cfg.exact_capacity:
+    if host_ex is not None and off > 0:
+        host_ex = exact_flush(*host_ex, pending, off)
+    hist = None
+    if host_ex is not None:
+        uniq_np, counts_np = host_ex
+        n_unique = len(uniq_np)
+        cap, w = cfg.exact_capacity, (k + 15) // 16
+        if n_unique >= cap:
             raise RuntimeError(
                 f"exact spectrum overflow: {n_unique} distinct k-mers >= "
                 f"capacity {cfg.exact_capacity}; raise exact_capacity")
         log.info("count: %d reads, %d k-mers, %d distinct",
                  n_reads, n_kmers, n_unique)
+        uniq_dev = jnp.asarray(np.concatenate(
+            [uniq_np, np.full((cap - n_unique, w), 0xFFFFFFFF,
+                              dtype=np.uint32)]))
+        counts_dev = jnp.asarray(np.concatenate(
+            [np.clip(counts_np, 0, 2 ** 31 - 1).astype(np.int32),
+             np.zeros(cap - n_unique, np.int32)]))
+        exact = (uniq_dev, counts_dev, jnp.asarray(n_unique, jnp.int32))
+        hist = np.asarray(count_histogram(counts_dev))
 
-    hist = None
-    if exact is not None:
-        hist = np.asarray(count_histogram(exact[1]))
     t = solid_threshold(hist, cfg.threshold) if hist is not None \
         else (cfg.threshold if cfg.threshold is not None else 2)
     if cfg.threshold is None and hist is None:
@@ -352,10 +386,72 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
     return stats
 
 
+def run_align(cfg: KmeraxConfig, paths, contigs_fasta: str,
+              out_tsv: Optional[str] = None,
+              metrics: Optional[MetricsWriter] = None) -> dict:
+    """Align/validation stage (SURVEY.md §3.3, DESIGN.md §10b): seed-extend
+    banded alignment of reads against assembled contigs; reports the
+    aligned fraction and mean identity, optionally a per-read TSV."""
+    from kmerax.core.codec import seq_bytes_to_bases
+    from kmerax.io.fasta import read_fasta
+    from kmerax.ops.align import build_contig_index, validate_batch
+
+    m = metrics or MetricsWriter(None)
+    k, band = cfg.k, cfg.band
+    contigs = [seq_bytes_to_bases(
+        np.frombuffer(seq.encode("ascii"), dtype=np.uint8))
+        for _, seq in read_fasta(contigs_fasta)]
+    cat, uniq, pay = build_contig_index(contigs, k)
+    cat_dev = jnp.asarray(cat.astype(np.int8)) if len(cat) \
+        else jnp.zeros(1, jnp.int8)
+
+    @jax.jit
+    def step(bases, lengths):
+        return validate_batch(cat_dev, uniq, pay, bases, lengths, k, band)
+
+    if isinstance(paths, str):
+        paths = [paths]
+    n_reads = n_aligned = 0
+    sum_ident = 0.0
+    tsv = open(out_tsv, "w") if out_tsv else None
+    m.stage_start("align")
+    with maybe_trace("align"):
+        for batch in BackgroundBatcher(paths, cfg.batch_reads,
+                                       cfg.max_read_len):
+            found, strand, pos, score = step(jnp.asarray(batch.bases),
+                                             jnp.asarray(batch.lengths))
+            found = np.asarray(found)[:batch.n]
+            strand = np.asarray(strand)[:batch.n]
+            pos = np.asarray(pos)[:batch.n]
+            score = np.asarray(score)[:batch.n]
+            lens = batch.lengths[:batch.n]
+            ident = np.where(found & (lens > 0),
+                             score / (2.0 * np.maximum(lens, 1)), 0.0)
+            n_reads += batch.n
+            n_aligned += int(found.sum())
+            sum_ident += float(ident[found].sum())
+            if tsv:
+                for i in range(batch.n):
+                    tsv.write(f"{batch.records[i].name.decode()}\t"
+                              f"{int(found[i])}\t{int(strand[i])}\t"
+                              f"{int(pos[i])}\t{int(score[i])}\t"
+                              f"{ident[i]:.4f}\n")
+    if tsv:
+        tsv.close()
+    stats = {"reads": n_reads, "aligned": n_aligned,
+             "aligned_frac": round(n_aligned / max(n_reads, 1), 4),
+             "mean_identity": round(sum_ident / max(n_aligned, 1), 4)}
+    m.stage_end("align", **stats)
+    log.info("align: %s", stats)
+    return stats
+
+
 def run_pipeline(cfg: KmeraxConfig, paths, out_fastq: str,
                  out_fasta: Optional[str] = None,
-                 metrics_path: Optional[str] = None) -> dict:
-    """count -> correct [-> assemble]; two-pass (k2) handled by caller CLI."""
+                 metrics_path: Optional[str] = None,
+                 validate: bool = False) -> dict:
+    """count -> correct [-> assemble [-> align-validate]]; two-pass (k2)
+    is handled by the caller CLI."""
     m = MetricsWriter(metrics_path)
     state = run_count(cfg, paths, metrics=m)
     stats = run_correct(cfg, paths, state, out_fastq, metrics=m)
@@ -367,5 +463,10 @@ def run_pipeline(cfg: KmeraxConfig, paths, out_fastq: str,
                                       corrected_fastq=out_fastq)
         m.stage_end("assemble", unitigs=n_unitigs)
         result["unitigs"] = n_unitigs
+        if validate:
+            corrected = out_fastq if isinstance(out_fastq, (list, tuple)) \
+                else [out_fastq]
+            result["validate"] = run_align(cfg, corrected, out_fasta,
+                                           metrics=m)
     m.close()
     return result

@@ -77,6 +77,39 @@ def merge_sorted(a_words, a_counts, b_words, b_counts):
     return unique_counts(sw, sc)
 
 
+def np_merge_counted(rows, weights):
+    """Host-side sort+dedup of (N, W) uint32 k-mer rows with int64 weights.
+
+    Returns (uniq (M, W) uint32 in DESIGN.md §6 global order, counts (M,)
+    int64). Sentinel rows must be filtered by the caller. Used by the
+    streaming count flush and the sharded gather — device-side giant 1-D
+    sorts are not TPU-friendly (XLA pads them ~64x), the host merge is.
+    k <= 31 rows (W=2) take a packed-uint64 radix-sort fast path.
+    """
+    import numpy as np
+
+    rows = np.ascontiguousarray(rows)
+    weights = np.asarray(weights, dtype=np.int64)
+    n, w = rows.shape
+    if n == 0:
+        return rows.reshape(0, w), weights[:0]
+    if w == 2:
+        packed = (rows[:, 1].astype(np.uint64) << np.uint64(32)) \
+            | rows[:, 0].astype(np.uint64)
+        order = np.argsort(packed, kind="stable")
+        sp = packed[order]
+        is_start = np.concatenate([[True], sp[1:] != sp[:-1]])
+        srows = rows[order]
+    else:
+        order = np.lexsort(tuple(rows[:, i] for i in range(w)))
+        srows = rows[order]
+        is_start = np.concatenate(
+            [[True], np.any(srows[1:] != srows[:-1], axis=1)])
+    sw = weights[order]
+    out = np.add.reduceat(sw, np.nonzero(is_start)[0])
+    return srows[is_start], out
+
+
 def searchsorted_words(uniq_words: jnp.ndarray, query_words: jnp.ndarray):
     """Vectorized binary search: (..., W) queries -> (idx, found).
 

@@ -286,16 +286,10 @@ def gather_exact_host(exact, k: int):
             m = int(n[d, s])
             rows.append(uniq[d, s, :m])
             cnts.append(counts[d, s, :m])
+    from kmerax.spectrum.exact import np_merge_counted
+
     allrows = np.concatenate(rows, axis=0)
     allcnts = np.concatenate(cnts, axis=0).astype(np.int64)
     if len(allrows) == 0:
         return allrows.reshape(0, w), allcnts
-    order = np.lexsort(tuple(allrows[:, i] for i in range(w)))  # MSW last key
-    allrows = allrows[order]
-    allcnts = allcnts[order]
-    is_start = np.concatenate(
-        [[True], np.any(allrows[1:] != allrows[:-1], axis=1)])
-    seg = np.cumsum(is_start) - 1
-    out_counts = np.zeros(seg[-1] + 1, dtype=np.int64)
-    np.add.at(out_counts, seg, allcnts)
-    return allrows[is_start], out_counts
+    return np_merge_counted(allrows, allcnts)

@@ -12,6 +12,71 @@ MATCH, MISMATCH, GAP = 2, -3, -4
 NEG_INF = -(1 << 30)
 
 
+def build_contig_index(contigs, k: int):
+    """Read-to-contig validation index (DESIGN.md §10b).
+
+    contigs: list of base arrays. Returns (cat uint8, {canon_int: (pos,
+    fwd)}) — every valid position of the N-separated concatenation, keeping
+    the smallest position per canonical k-mer.
+    """
+    from oracle.codec import kmer_int, revcomp_int
+
+    sep = np.full(k - 1, 4, np.uint8)
+    parts = []
+    for i, c in enumerate(contigs):
+        if i:
+            parts.append(sep)
+        parts.append(np.asarray(c, dtype=np.uint8))
+    cat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    index = {}
+    for p in range(max(0, len(cat) - k + 1)):
+        v = kmer_int(cat[p:p + k])
+        if v < 0:
+            continue
+        rc = revcomp_int(v, k)
+        canon, fwd = (v, True) if v <= rc else (rc, False)
+        if canon not in index:
+            index[canon] = (p, fwd)
+    return cat, index
+
+
+def validate_read(R, cat, index, k: int, band: int = 15):
+    """Seed-extend validation of one read (DESIGN.md §10b).
+
+    Returns (found, strand, pos, score); unaligned = (False, 0, -1, NEG_INF).
+    """
+    from oracle.codec import kmer_int, revcomp_int
+
+    R = np.asarray(R, dtype=np.int64)
+    L = len(R)
+    if L >= k:
+        for j in range(L - k + 1):
+            v = kmer_int(R[j:j + k])
+            if v < 0:
+                continue
+            rc = revcomp_int(v, k)
+            canon, rfwd = (v, True) if v <= rc else (rc, False)
+            hit = index.get(canon)
+            if hit is None:
+                continue
+            p, cfwd = hit
+            s = 0 if rfwd == cfwd else 1
+            if s:
+                rev = R[::-1]
+                Q = np.where(rev < 4, 3 - rev, 4)
+                jq = L - k - j
+            else:
+                Q, jq = R, j
+            start = p - jq
+            T = np.full(L, 4, np.int64)
+            lo, hi = max(0, start), min(len(cat), start + L)
+            if hi > lo:
+                T[lo - start:hi - start] = cat[lo:hi]
+            score, _ = banded_align(Q, T, band)
+            return True, s, p, score
+    return False, 0, -1, NEG_INF
+
+
 def banded_align(query, target, band: int = 15):
     """Banded global DP. Returns (score, transcript) with transcript over
     {'M' match, 'X' mismatch, 'I' gap-in-target (consumes query),
