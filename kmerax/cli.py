@@ -137,7 +137,7 @@ def main(argv=None) -> int:
                           metrics=MetricsWriter(args.metrics))
         save_spectrum(args.out, cfg, bloom_table=state.bloom_table,
                       exact=state.exact, threshold=state.threshold,
-                      hist=state.hist,
+                      hist=state.hist, host=state.host,
                       extra={"n_reads": state.n_reads,
                              "n_kmers": state.n_kmers})
         print(json.dumps({"reads": state.n_reads, "kmers": state.n_kmers,

@@ -182,6 +182,12 @@ def assemble_to_fasta(cfg, state, out_fasta: str,
     If corrected_fastq (path or list of paths, e.g. paired-end R1/R2) is
     given, the spectrum is re-counted from it first (the pipeline assembles
     corrected reads, BASELINE.json:5).
+
+    The host-resident partitioned path (graph/partitioned.py) is the
+    default: device memory stays O(#solid), so assembly scales past one
+    chip's HBM (configs 4-5). The monolithic device path remains for
+    states that carry only device arrays (old checkpoints); both produce
+    identical FASTA bytes (tests/golden/test_partitioned.py).
     """
     from kmerax.io.fasta import write_fasta
     from kmerax.pipeline.run import run_count
@@ -190,14 +196,17 @@ def assemble_to_fasta(cfg, state, out_fasta: str,
         paths = ([corrected_fastq] if isinstance(corrected_fastq, str)
                  else list(corrected_fastq))
         state = run_count(cfg, paths)
-    if state.exact is None:
-        raise ValueError("assembly needs exact_spectrum=True")
-    uniq, counts, _ = state.exact
     t = state.threshold
-
-    arrays = jax.jit(unitig_arrays, static_argnums=2)(
-        uniq, counts >= t, cfg.k)
-    seqs = emit_unitigs(np.asarray(uniq), arrays, cfg.k)
+    if getattr(state, "host", None) is not None:
+        from kmerax.graph.partitioned import assemble_host
+        seqs = assemble_host(state.host, t, cfg.k)
+    elif state.exact is not None:
+        uniq, counts, _ = state.exact
+        arrays = jax.jit(unitig_arrays, static_argnums=2)(
+            uniq, counts >= t, cfg.k)
+        seqs = emit_unitigs(np.asarray(uniq), arrays, cfg.k)
+    else:
+        raise ValueError("assembly needs exact_spectrum=True")
     # multi-host: every process derives identical unitigs from the
     # replicated spectrum (deterministic); process 0 is the sole writer.
     if jax.process_index() == 0:

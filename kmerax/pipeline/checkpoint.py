@@ -15,7 +15,7 @@ import numpy as np
 
 
 def save_spectrum(dirpath: str, cfg, *, bloom_table=None, exact=None,
-                  threshold=None, hist=None, stage: str = "count",
+                  threshold=None, hist=None, host=None, stage: str = "count",
                   status: str = "complete", extra: dict | None = None):
     os.makedirs(dirpath, exist_ok=True)
     arrays = {}
@@ -26,6 +26,11 @@ def save_spectrum(dirpath: str, cfg, *, bloom_table=None, exact=None,
         arrays["exact_uniq"] = np.asarray(uniq)
         arrays["exact_counts"] = np.asarray(counts)
         arrays["exact_n"] = np.asarray(n)
+    elif host is not None:
+        # host-resident spectrum (past device capacity): save unpadded;
+        # exact_* stays the compact form when both exist
+        arrays["host_uniq"] = host.uniq
+        arrays["host_counts"] = host.counts
     if hist is not None:
         arrays["hist"] = np.asarray(hist)
     np.savez(os.path.join(dirpath, "spectrum.npz"), **arrays)

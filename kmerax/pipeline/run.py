@@ -43,6 +43,8 @@ class CountState:
     n_reads: int
     n_kmers: int
     sharded: Optional[object] = None  # ShardedParams when counted on a mesh
+    host: Optional[object] = None   # HostSpectrum — always set when
+                                    # exact_spectrum=True; scales past HBM
 
     def query_fn(self, use_exact: bool = False):
         """Spectrum query closure for ops.correct_batch."""
@@ -188,24 +190,25 @@ def run_count(cfg: KmeraxConfig, paths, k: Optional[int] = None,
     if host_ex is not None and off > 0:
         host_ex = exact_flush(*host_ex, pending, off)
     hist = None
+    host = None
     if host_ex is not None:
+        from kmerax.spectrum.host import HostSpectrum
+
         uniq_np, counts_np = host_ex
-        n_unique = len(uniq_np)
-        cap, w = cfg.exact_capacity, (k + 15) // 16
-        if n_unique >= cap:
-            raise RuntimeError(
-                f"exact spectrum overflow: {n_unique} distinct k-mers >= "
-                f"capacity {cfg.exact_capacity}; raise exact_capacity")
+        host = HostSpectrum(uniq_np, counts_np, k)
+        n_unique = host.n_unique
+        cap = cfg.exact_capacity
         log.info("count: %d reads, %d k-mers, %d distinct",
                  n_reads, n_kmers, n_unique)
-        uniq_dev = jnp.asarray(np.concatenate(
-            [uniq_np, np.full((cap - n_unique, w), 0xFFFFFFFF,
-                              dtype=np.uint32)]))
-        counts_dev = jnp.asarray(np.concatenate(
-            [np.clip(counts_np, 0, 2 ** 31 - 1).astype(np.int32),
-             np.zeros(cap - n_unique, np.int32)]))
-        exact = (uniq_dev, counts_dev, jnp.asarray(n_unique, jnp.int32))
-        hist = np.asarray(count_histogram(counts_dev))
+        if n_unique < cap:
+            exact = host.to_device(cap)
+        else:
+            # past device capacity the spectrum stays host-resident; the
+            # later stages stream partitions (graph/partitioned.py) — no
+            # hard overflow at configs 4-5 scale (SURVEY.md §7 hard-parts)
+            log.info("count: %d distinct >= capacity %d — spectrum kept "
+                     "host-resident", n_unique, cap)
+        hist = host.histogram(255)
 
     t = solid_threshold(hist, cfg.threshold) if hist is not None \
         else (cfg.threshold if cfg.threshold is not None else 2)
@@ -213,7 +216,8 @@ def run_count(cfg: KmeraxConfig, paths, k: Optional[int] = None,
         raise ValueError("auto threshold needs exact_spectrum=True")
     m.stage_end("count", reads=n_reads, kmers=n_kmers, threshold=t)
     log.info("count: threshold=%d", t)
-    return CountState(cfg, table, exact, hist, t, n_reads, n_kmers)
+    return CountState(cfg, table, exact, hist, t, n_reads, n_kmers,
+                      host=host)
 
 
 def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:

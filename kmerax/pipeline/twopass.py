@@ -48,20 +48,30 @@ def _count_stage(cfg: KmeraxConfig, paths, workdir, stage: str,
         manifest, arrays = load_spectrum(spec_dir)
         if manifest is not None:
             log.info("%s: resumed from checkpoint", stage)
+            from kmerax.spectrum.host import HostSpectrum
             exact = None
+            host = None
             if "exact_uniq" in arrays:
                 exact = (jnp.asarray(arrays["exact_uniq"]),
                          jnp.asarray(arrays["exact_counts"]),
                          jnp.asarray(arrays["exact_n"]))
+                n = int(arrays["exact_n"])
+                host = HostSpectrum(
+                    arrays["exact_uniq"][:n],
+                    arrays["exact_counts"][:n].astype(np.int64), cfg.k)
+            elif "host_uniq" in arrays:
+                host = HostSpectrum(arrays["host_uniq"],
+                                    arrays["host_counts"], cfg.k)
             return CountState(
                 cfg, jnp.asarray(arrays["bloom_table"]), exact,
                 arrays.get("hist"), manifest["threshold"],
-                manifest.get("n_reads", 0), manifest.get("n_kmers", 0))
+                manifest.get("n_reads", 0), manifest.get("n_kmers", 0),
+                host=host)
     state = run_count(cfg, paths, metrics=m)
     if workdir is not None:
         save_spectrum(spec_dir, cfg, bloom_table=state.bloom_table,
                       exact=state.exact, threshold=state.threshold,
-                      hist=state.hist, stage=stage,
+                      hist=state.hist, host=state.host, stage=stage,
                       extra={"n_reads": state.n_reads,
                              "n_kmers": state.n_kmers})
         _mark_done(workdir, stage)
