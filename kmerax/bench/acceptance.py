@@ -131,12 +131,14 @@ def _accuracy(in_reads, out_paths) -> dict:
 
 
 def run_config(n: int, scale="1.0", workdir: str | None = None,
-               seed: int = 42) -> dict:
+               seed: int = 42, overrides: dict | None = None) -> dict:
     """Run acceptance config `n` end-to-end; returns the metrics dict.
 
     scale: genome-length multiplier of the spec's scale-down base, or the
     string "full" for the real dataset size (e.g. config 1 = the 4.6Mb
     E. coli genome, ~1.5M PE150 reads at 50x).
+    overrides: KmeraxConfig field overrides (e.g. a deliberately small
+    exact_capacity to exercise the host-resident spectrum, or a wider mesh).
     """
     import tempfile
 
@@ -173,6 +175,9 @@ def run_config(n: int, scale="1.0", workdir: str | None = None,
         k=spec.k, k2=spec.k2, mesh_data=mesh_d, mesh_bucket=mesh_b,
         exact_capacity=cap, batch_reads=batch_reads,
         max_read_len=spec.read_len + 10, bloom_log2_width=width)
+    if overrides:
+        cfg = cfg.replace(**overrides)
+        mesh_d, mesh_b = cfg.mesh_data, cfg.mesh_bucket
     out_fastq = [os.path.join(workdir, f"corrected_{i+1}.fastq")
                  for i in range(len(paths))]
     out_fasta = os.path.join(workdir, "contigs.fasta") if spec.assemble \

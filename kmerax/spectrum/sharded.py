@@ -35,9 +35,7 @@ from kmerax.core.kmers import extract_kmers
 from kmerax.core.minimizer import minimizers
 from kmerax.dist.mesh import AXIS_BUCKET, AXIS_DATA
 from kmerax.spectrum.bloom import BloomParams, insert, query
-from kmerax.spectrum.exact import (
-    SENTINEL_WORD, merge_sorted, sentinel_rows, sort_kmers, unique_counts,
-)
+from kmerax.spectrum.exact import SENTINEL_WORD, sentinel_rows
 
 
 @dataclass(frozen=True)
@@ -116,19 +114,20 @@ def _route_back(values, meta):
 # per-replica partials, the bucket axis range-shards the spectrum
 SHARDED_STATE_RULES = [
     (r"^table$", P(AXIS_DATA, AXIS_BUCKET, None)),
-    (r"^exact/uniq$", P(AXIS_DATA, AXIS_BUCKET, None, None)),
-    (r"^exact/counts$", P(AXIS_DATA, AXIS_BUCKET, None)),
-    (r"^exact/n$", P(AXIS_DATA, AXIS_BUCKET)),
+    (r"^pending$", P(AXIS_DATA, AXIS_BUCKET, None, None)),
 ]
 
 
-def make_sharded_state(sp: ShardedParams, mesh, exact_capacity: int | None,
+def make_sharded_state(sp: ShardedParams, mesh, pend_rows: int | None,
                        k: int):
     """Initial per-device state, placed via the partition-rule engine
     (SHARDED_STATE_RULES + dist.partition, SURVEY.md §2 #21).
 
     The global-width table is represented (D, S, width/S): row d holds data
-    replica d's partial counts of the S range shards.
+    replica d's partial counts of the S range shards. `pend_rows` sizes the
+    per-device raw-kmer pending buffer for the exact spectrum (flushed to
+    the HOST by the pipeline — no per-device capacity wall; round-3
+    scale design, spectrum/host.py); None skips the exact spectrum.
     """
     from kmerax.dist.partition import shard_tree
 
@@ -138,32 +137,30 @@ def make_sharded_state(sp: ShardedParams, mesh, exact_capacity: int | None,
     perw = sp.bloom.width // S
 
     tree = {"table": np.zeros((D, S, perw), np.int32)}
-    if exact_capacity is not None:
-        tree["exact"] = {
-            "uniq": np.broadcast_to(
-                np.asarray(sentinel_rows(exact_capacity, w))[None, None],
-                (D, S, exact_capacity, w)),
-            "counts": np.zeros((D, S, exact_capacity), np.int32),
-            "n": np.zeros((D, S), np.int32),
-        }
+    if pend_rows is not None:
+        tree["pending"] = np.broadcast_to(
+            np.asarray(sentinel_rows(pend_rows, w))[None, None],
+            (D, S, pend_rows, w))
     placed = shard_tree(mesh, tree, SHARDED_STATE_RULES)
-    if exact_capacity is None:
-        return placed["table"], None
-    ex = placed["exact"]
-    return placed["table"], (ex["uniq"], ex["counts"], ex["n"])
+    return placed["table"], placed.get("pending")
 
 
 def sharded_insert_step(sp: ShardedParams, mesh, k: int,
-                        exact_capacity: int | None):
+                        with_pending: bool):
     """Build the jitted per-batch distributed count step.
 
-    step(table, exact, bases) -> (table, exact, n_kmers, overflow)
-      table (D,S,width/S) sharded; exact = (uniq, counts, n) or None;
-      bases (Bg, L) sharded over ("data","bucket").
+    step(table, pending, bases, off) -> (table, pending, n_kmers, overflow)
+      table (D,S,width/S) sharded; pending (D,S,P,W) raw-row buffer (the
+      exact-spectrum accumulator, flushed to the HOST by the pipeline at
+      `off` wraparound — sentinel rows mark invalid lanes); bases (Bg, L)
+      sharded over ("data","bucket"); off = replicated row offset.
+
+    Per-device routed rows per batch (the pending append width) =
+    S * route_capacity; the caller advances off by `recv_rows(sp, n)`.
     """
     w = (k + 15) // 16
 
-    def inner(table_ds, bases_blk, *exact_blk):
+    def inner(table_ds, bases_blk, off, *pending_blk):
         words, valid = extract_kmers(bases_blk, k)
         canon, _ = canonical_words(words, k)
         flat = canon.reshape(-1, w)
@@ -175,39 +172,57 @@ def sharded_insert_step(sp: ShardedParams, mesh, k: int,
                           (AXIS_DATA, AXIS_BUCKET))
         ovf = jax.lax.psum(overflow, (AXIS_DATA, AXIS_BUCKET))
         outs = (tbl[None, None], nk, ovf)
-        if exact_blk:
-            uniq, counts, n = exact_blk
+        if pending_blk:
+            pend = pending_blk[0]
             masked = jnp.where(rvalid[:, None], recv,
                                jnp.uint32(SENTINEL_WORD))
-            bu, bc, _ = unique_counts(sort_kmers(masked))
-            mu, mc, mn = merge_sorted(uniq[0, 0], counts[0, 0], bu, bc)
-            outs = outs + (mu[None, None, :exact_capacity],
-                           mc[None, None, :exact_capacity],
-                           mn[None, None])
+            pend = jax.lax.dynamic_update_slice(
+                pend[0, 0], masked, (off, 0))
+            outs = outs + (pend[None, None],)
         return outs
 
-    in_specs = [P(AXIS_DATA, AXIS_BUCKET, None), P((AXIS_DATA, AXIS_BUCKET))]
+    in_specs = [P(AXIS_DATA, AXIS_BUCKET, None), P((AXIS_DATA, AXIS_BUCKET)),
+                P()]
     out_specs = [P(AXIS_DATA, AXIS_BUCKET, None), P(), P()]
-    if exact_capacity is not None:
-        in_specs += [P(AXIS_DATA, AXIS_BUCKET, None, None),
-                     P(AXIS_DATA, AXIS_BUCKET, None),
-                     P(AXIS_DATA, AXIS_BUCKET)]
-        out_specs += [P(AXIS_DATA, AXIS_BUCKET, None, None),
-                      P(AXIS_DATA, AXIS_BUCKET, None),
-                      P(AXIS_DATA, AXIS_BUCKET)]
+    if with_pending:
+        in_specs += [P(AXIS_DATA, AXIS_BUCKET, None, None)]
+        out_specs += [P(AXIS_DATA, AXIS_BUCKET, None, None)]
 
     sm = shard_map(inner, mesh=mesh, in_specs=tuple(in_specs),
                    out_specs=tuple(out_specs), check_vma=False)
 
     @jax.jit
-    def step(table, exact, bases):
-        if exact is not None:
-            t, nk, ovf, mu, mc, mn = sm(table, bases, *exact)
-            return t, (mu, mc, mn), nk, ovf
-        t, nk, ovf = sm(table, bases)
+    def step(table, pending, bases, off=0):
+        off = jnp.asarray(off, jnp.int32)
+        if pending is not None:
+            t, nk, ovf, pend = sm(table, bases, off, pending)
+            return t, pend, nk, ovf
+        t, nk, ovf = sm(table, bases, off)
         return t, None, nk, ovf
 
     return step
+
+
+def recv_rows(sp: ShardedParams, n_flat: int) -> int:
+    """Routed rows landing on each device per batch (= pending append
+    width): S destinations x per-destination capacity."""
+    S = sp.n_shards
+    return S * (-(-n_flat * sp.route_safety // S))
+
+
+def flush_pending_local(pending, off: int, k: int):
+    """Read THIS process's pending shards off the mesh and return their raw
+    (rows, ones) for host merging. Each (d, s) block lives on exactly one
+    device, so the union over processes is exactly the routed stream."""
+    w = (k + 15) // 16
+    rows = []
+    for shard in pending.addressable_shards:
+        blk = np.asarray(shard.data).reshape(-1, w)[:off]
+        blk = blk[~np.all(blk == np.uint32(SENTINEL_WORD), axis=1)]
+        rows.append(blk)
+    if not rows:
+        return np.zeros((0, w), np.uint32)
+    return np.concatenate(rows, axis=0)
 
 
 def merge_and_replicate(mesh):
@@ -261,35 +276,30 @@ def merge_keep_sharded(mesh):
     return jax.jit(sm)
 
 
-def gather_exact_host(exact, k: int):
-    """Host-merge per-(data,bucket) exact shards into one global spectrum.
+def allgather_spectrum(rows: np.ndarray, counts: np.ndarray):
+    """Union per-process host spectra into one global sorted spectrum on
+    every process (replaces the old device exact-shard gather).
 
-    Bucket columns hold disjoint k-mer sets; data rows of one column overlap
-    and are deduped here (summing counts). Returns (uniq (N,W) np.uint32,
-    counts (N,) np.int64) in global sorted order (DESIGN.md §6).
-    """
-    def _host(x):
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-        return np.asarray(x)
-
-    uniq, counts, n = exact
-    uniq = _host(uniq)
-    counts = _host(counts)
-    n = _host(n)
-    D, S, cap, w = uniq.shape
-    rows = []
-    cnts = []
-    for d in range(D):
-        for s in range(S):
-            m = int(n[d, s])
-            rows.append(uniq[d, s, :m])
-            cnts.append(counts[d, s, :m])
+    Each process passes its locally merged (rows (N_p, W) uint32, counts
+    (N_p,) int64); sizes may differ across processes — padded allgather,
+    then one host radix merge (deterministic, so every process derives the
+    identical global spectrum)."""
     from kmerax.spectrum.exact import np_merge_counted
 
-    allrows = np.concatenate(rows, axis=0)
-    allcnts = np.concatenate(cnts, axis=0).astype(np.int64)
-    if len(allrows) == 0:
-        return allrows.reshape(0, w), allcnts
-    return np_merge_counted(allrows, allcnts)
+    if jax.process_count() == 1:
+        return rows, counts
+    from jax.experimental import multihost_utils as mh
+
+    w = rows.shape[1]
+    n = np.asarray(mh.process_allgather(np.array([len(rows)])))  # (P, 1)
+    maxn = int(n.max())
+    pr = np.full((maxn, w), SENTINEL_WORD, np.uint32)
+    pr[:len(rows)] = rows
+    pc = np.zeros(maxn, np.int64)
+    pc[:len(rows)] = counts
+    allr = np.asarray(mh.process_allgather(pr))        # (P, maxn, W)
+    allc = np.asarray(mh.process_allgather(pc))
+    parts_r = [allr[p, :int(n[p, 0])] for p in range(len(n))]
+    parts_c = [allc[p, :int(n[p, 0])] for p in range(len(n))]
+    return np_merge_counted(np.concatenate(parts_r, axis=0),
+                            np.concatenate(parts_c, axis=0))

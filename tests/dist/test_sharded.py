@@ -20,7 +20,7 @@ from kmerax.dist.mesh import MeshSpec, make_mesh
 from kmerax.pipeline import run_count, run_correct
 from kmerax.pipeline.run import _bloom_params
 from kmerax.spectrum.sharded import (
-    ShardedParams, gather_exact_host, make_sharded_state, merge_and_replicate,
+    ShardedParams, make_sharded_state, merge_and_replicate,
     merge_keep_sharded, routed_query_fn, sharded_insert_step,
 )
 from sim import ecoli_like, make_fastq

@@ -20,6 +20,19 @@ def test_correct_configs_run_and_help(tmp_path, n):
         assert rep["mesh"] == [2, 2]  # the sharded path actually ran
 
 
+def test_config4_full_scale_host_resident(tmp_path):
+    """Config 4 at scale=1.0 — 20x the smoke scale above — on the full
+    8-device mesh, with exact_capacity deliberately far below the distinct
+    count: the spectrum stays host-resident and nothing overflows
+    (round-2 VERDICT Missing #1 done-criterion)."""
+    rep = run_config(4, scale=1.0, workdir=str(tmp_path / "acc4full"),
+                     overrides={"exact_capacity": 1 << 14,
+                                "mesh_data": 2, "mesh_bucket": 4})
+    assert rep["mesh"] == [2, 4]
+    assert rep["reads"] >= 30_000
+    assert rep["accuracy"]["gain"] > 0.5, rep["accuracy"]
+
+
 def test_assemble_config_emits_contigs(tmp_path):
     rep = run_config(3, scale=0.04, workdir=str(tmp_path / "acc3"))
     assert rep.get("unitigs", 0) > 0
