@@ -92,7 +92,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("pipeline", help="count+correct(+assemble) end to end")
     _add_common(p)
     p.add_argument("--in", dest="inputs", nargs="+", required=True)
-    p.add_argument("--out-fastq", required=True)
+    p.add_argument("--out-fastq", required=True, nargs="+",
+                   help="one path, or one per input file (paired-end R1/R2)")
     p.add_argument("--out-fasta", default=None)
     p.add_argument("--validate", action="store_true",
                    help="after assemble: seed-extend align corrected reads "
@@ -171,13 +172,15 @@ def main(argv=None) -> int:
 
     elif args.cmd == "pipeline":
         from kmerax.pipeline import run_pipeline
+        out_fq = args.out_fastq[0] if len(args.out_fastq) == 1 \
+            else list(args.out_fastq)
         if args.k2:
             from kmerax.pipeline.twopass import run_two_pass
             result = run_two_pass(cfg.replace(k2=args.k2), args.inputs,
-                                  args.out_fastq, args.out_fasta,
+                                  out_fq, args.out_fasta,
                                   metrics_path=args.metrics)
         else:
-            result = run_pipeline(cfg, args.inputs, args.out_fastq,
+            result = run_pipeline(cfg, args.inputs, out_fq,
                                   args.out_fasta, metrics_path=args.metrics,
                                   validate=args.validate)
         print(json.dumps(result))

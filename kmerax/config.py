@@ -45,6 +45,9 @@ class KmeraxConfig:
     # batching / IO
     batch_reads: int = 4096
     max_read_len: int = 160
+    # multi-host: each process parses/writes only its own file shard
+    # (SURVEY.md §1 L1); falls back to all-parse when files < processes
+    per_host_io: bool = True
 
     # mesh (DESIGN.md §12)
     mesh_data: int = 1

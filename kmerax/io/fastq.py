@@ -29,9 +29,26 @@ def _open_r(path: str):
     return open(path, "rb", buffering=_CHUNK)
 
 
+class _DeterministicGzip(gzip.GzipFile):
+    """Gzip writer with mtime=0 in the header (DESIGN.md §13: identical
+    runs produce identical bytes, .gz headers included) that also closes
+    the underlying raw file."""
+
+    def __init__(self, path: str):
+        self._raw = open(path, "wb", buffering=_CHUNK)
+        super().__init__(filename="", mode="wb", compresslevel=4,
+                         fileobj=self._raw, mtime=0)
+
+    def close(self):
+        try:
+            super().close()
+        finally:
+            self._raw.close()
+
+
 def _open_w(path: str):
     if str(path).endswith(".gz"):
-        return gzip.open(path, "wb", compresslevel=4)
+        return _DeterministicGzip(path)
     return open(path, "wb", buffering=_CHUNK)
 
 

@@ -104,6 +104,54 @@ def _to_host_global(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def _use_per_host_io(cfg: KmeraxConfig, paths) -> bool:
+    return (jax.process_count() > 1 and cfg.per_host_io
+            and len(paths) >= jax.process_count())
+
+
+def _global_batches(cfg: KmeraxConfig, paths, reads_sh):
+    """Yield (global bases array, real reads in batch) for the mesh count
+    loop (SURVEY.md §3.1).
+
+    Per-host mode (SURVEY.md §1 L1): each process parses ONLY its own
+    size-balanced file shard (io/shard.py) and contributes its local rows;
+    processes stay in lockstep by exchanging (has_more, n_local) each
+    batch, with exhausted processes feeding empty rows. Counting is
+    order-free, so the final spectrum is bit-identical to the
+    single-stream order (DESIGN.md §13).
+    """
+    if not _use_per_host_io(cfg, paths):
+        for batch in BackgroundBatcher(paths, cfg.batch_reads,
+                                       cfg.max_read_len):
+            yield _feed_global(batch.bases, reads_sh), batch.n
+        return
+
+    from jax.experimental import multihost_utils as mh
+    from kmerax.io.shard import local_paths
+
+    nproc, pid = jax.process_count(), jax.process_index()
+    lp = local_paths(paths, nproc, pid)
+    log.info("count[per-host]: process %d parses %d/%d files: %s",
+             pid, len(lp), len(paths), [str(p) for p in lp])
+    assert cfg.batch_reads % nproc == 0
+    B_local = cfg.batch_reads // nproc
+    empty = np.full((B_local, cfg.max_read_len), 4, np.int32)
+    it = iter(BackgroundBatcher(lp, B_local, cfg.max_read_len)) if lp \
+        else iter(())
+    while True:
+        batch = next(it, None)
+        flags = np.asarray(mh.process_allgather(np.asarray(
+            [0 if batch is None else 1,
+             0 if batch is None else batch.n], dtype=np.int64)))
+        if flags[:, 0].sum() == 0:
+            break
+        rows = empty if batch is None else batch.bases
+        bases = jax.make_array_from_process_local_data(
+            reads_sh, rows,
+            global_shape=(cfg.batch_reads, cfg.max_read_len))
+        yield bases, int(flags[:, 1].sum())
+
+
 def _count_steps(cfg: KmeraxConfig, k: int):
     """Build the jitted per-batch count step(s) for this config.
 
@@ -269,11 +317,12 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
             np.concatenate([host_rows, raw], axis=0),
             np.concatenate([host_cnts, np.ones(len(raw), np.int64)]))
 
+    if isinstance(paths, str):
+        paths = [paths]
     n_reads = n_kmers = 0
     off = 0
     m.stage_start("count")
-    for batch in BackgroundBatcher(paths, cfg.batch_reads, cfg.max_read_len):
-        bases = _feed_global(batch.bases, reads_sh)
+    for bases, n_real in _global_batches(cfg, paths, reads_sh):
         table, pending, nk, ovf = step(table, pending, bases,
                                        jnp.int32(off))
         if int(ovf) != 0:
@@ -285,7 +334,7 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
             if off + step_rows > pend_rows:
                 flush(pending, off)
                 off = 0
-        n_reads += batch.n
+        n_reads += n_real
         n_kmers += int(nk)
     if pending is not None and off > 0:
         flush(pending, off)
@@ -316,26 +365,39 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
                       sharded=sp, host=host)
 
 
-def _correct_step_mesh(cfg: KmeraxConfig, state: CountState):
+def _correct_step_mesh(cfg: KmeraxConfig, state: CountState, mesh=None,
+                       batch_reads: int | None = None):
     """Mesh-distributed correct step (SURVEY.md §3.2): reads sharded over
     ("data","bucket"), every device corrects its own rows against the
     replicated solidity bitmap (2^LW bits — 128x smaller than the table, so
     replication is cheap; BASELINE.json:5 DP correction). Per-read work is
     independent, so shard_map(correct_batch) is bit-identical to the
-    single-device path (batch-split invariance, DESIGN.md §13)."""
+    single-device path (batch-split invariance, DESIGN.md §13).
+
+    `mesh` defaults to the cfg global mesh; per-host independent correction
+    passes a LOCAL mesh (this process's devices only) so no collective or
+    cross-host transfer exists anywhere in the stage."""
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
     from kmerax.dist.mesh import AXIS_BUCKET, AXIS_DATA, MeshSpec, make_mesh
     from kmerax.spectrum.bloom import query_solid, solidity_bitmap
 
-    ndev = cfg.mesh_data * cfg.mesh_bucket
-    if cfg.batch_reads % ndev != 0:
+    local_only = mesh is not None
+    if mesh is None:
+        mesh = make_mesh(MeshSpec(cfg.mesh_data, cfg.mesh_bucket))
+    ndev = mesh.devices.size
+    B = batch_reads or cfg.batch_reads
+    if B % ndev != 0:
         raise ValueError("batch_reads must divide by mesh size")
-    mesh = make_mesh(MeshSpec(cfg.mesh_data, cfg.mesh_bucket))
     k, t = cfg.k, state.threshold
     params = _bloom_params(cfg, k)
-    bitmap = jax.jit(solidity_bitmap, static_argnums=0)(
-        params, state.bloom_table, t)
+    table = state.bloom_table
+    if local_only:
+        # the merged table is replicated on the GLOBAL mesh; re-home a
+        # local copy so the whole stage touches only this process's devices
+        table = jax.device_put(np.asarray(table),
+                               NamedSharding(mesh, P(None)))
+    bitmap = jax.jit(solidity_bitmap, static_argnums=0)(params, table, t)
     rspec = P((AXIS_DATA, AXIS_BUCKET))
 
     def local(bm, b, l):
@@ -347,7 +409,19 @@ def _correct_step_mesh(cfg: KmeraxConfig, state: CountState):
                    out_specs=(rspec, rspec), check_vma=False)
     step = jax.jit(lambda b, l: sm(bitmap, b, l))
     rsh = NamedSharding(mesh, rspec)
+    if local_only:
+        return step, (lambda a: jax.device_put(jnp.asarray(a), rsh))
     return step, (lambda a: _feed_global(a, rsh))
+
+
+def _local_mesh():
+    """A ("data","bucket") mesh over THIS process's devices only."""
+    from jax.sharding import Mesh
+    from kmerax.dist.mesh import AXIS_BUCKET, AXIS_DATA
+
+    devs = jax.local_devices()
+    return Mesh(np.asarray(devs).reshape(len(devs), 1),
+                (AXIS_DATA, AXIS_BUCKET))
 
 
 def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
@@ -357,19 +431,6 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
     m = metrics or MetricsWriter(None)
     k, t = cfg.k, state.threshold
 
-    if cfg.mesh_data * cfg.mesh_bucket > 1 and not use_exact:
-        step, put = _correct_step_mesh(cfg, state)
-    else:
-        sf = state.solid_fn(use_exact)
-
-        @jax.jit
-        def step(bases, lengths):
-            return correct_batch(bases, lengths, k, t, solid_fn=sf,
-                                 rounds=cfg.rounds, max_runs=cfg.max_runs,
-                                 max_edits=cfg.max_edits)
-
-        put = jnp.asarray
-
     if isinstance(paths, str):
         paths = [paths]
     # paired-end / per-file outputs: a list of out paths (one per input,
@@ -377,24 +438,68 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
     if isinstance(out_path, (list, tuple)):
         if len(out_path) != len(paths):
             raise ValueError("need one --out per input file")
-        groups = [([p], o) for p, o in zip(paths, out_path)]
+        units = [([p], o, None) for p, o in zip(paths, out_path)]
+        concat = None
+    elif len(paths) > 1 and _use_per_host_io(cfg, paths) and not use_exact:
+        # single output, many inputs, per-host mode: each file becomes an
+        # owned part; rank 0 concatenates in path order afterwards
+        units = [([p], f"{out_path}.part{i:04d}", i)
+                 for i, p in enumerate(paths)]
+        concat = out_path
     else:
-        groups = [(paths, out_path)]
+        units = [(paths, out_path, None)]
+        concat = None
 
-    # multi-host: every process streams + corrects its shard; process 0
-    # gathers corrected rows (process_allgather) and is the sole writer.
-    is_writer = jax.process_index() == 0
+    per_host = _use_per_host_io(cfg, paths) and not use_exact \
+        and len(units) >= jax.process_count()
+    if per_host:
+        # per-host independent correction (SURVEY.md §1 L1 + round-2
+        # VERDICT Weak #7): the solidity bitmap is replicated, so there is
+        # no cross-host dependency — each process corrects and writes only
+        # its own size-balanced file shard on its LOCAL devices; corrected
+        # rows never cross hosts.
+        from kmerax.io.shard import assign_paths
+
+        nproc, pid = jax.process_count(), jax.process_index()
+        sizes_by = [u[0][0] for u in units]
+        mine = set(assign_paths(sizes_by, nproc)[pid])
+        step, put = _correct_step_mesh(cfg, state, mesh=_local_mesh())
+        log.info("correct[per-host]: process %d owns %d/%d files: %s",
+                 pid, len(mine), len(units),
+                 [units[i][1] for i in sorted(mine)])
+        my_units = [u for i, u in enumerate(units) if i in mine]
+        write_here = True
+    else:
+        my_units = units
+        write_here = jax.process_index() == 0
+        if cfg.mesh_data * cfg.mesh_bucket > 1 and not use_exact:
+            step, put = _correct_step_mesh(cfg, state)
+        else:
+            sf = state.solid_fn(use_exact)
+
+            @jax.jit
+            def step(bases, lengths):
+                return correct_batch(bases, lengths, k, t, solid_fn=sf,
+                                     rounds=cfg.rounds,
+                                     max_runs=cfg.max_runs,
+                                     max_edits=cfg.max_edits)
+
+            put = jnp.asarray
+
     n_reads = n_edited = n_edits = 0
     m.stage_start("correct")
     with maybe_trace("correct"):
-        for gpaths, gout in groups:
-            with FastqWriter(gout if is_writer else None) as out:
+        for gpaths, gout, _ in my_units:
+            with FastqWriter(gout if write_here else None) as out:
                 for batch in BackgroundBatcher(gpaths, cfg.batch_reads,
                                                cfg.max_read_len):
                     fixed, ne = step(put(batch.bases), put(batch.lengths))
-                    fixed = _to_host_global(fixed)
-                    ne = _to_host_global(ne)
-                    if is_writer:
+                    if per_host:
+                        fixed, ne = np.asarray(fixed), np.asarray(ne)
+                    else:
+                        fixed = _to_host_global(fixed)
+                        ne = _to_host_global(ne)
+                    if write_here:
                         for i in range(batch.n):
                             rec = batch.records[i]
                             out.write_record(rec, fixed[i, :batch.lengths[i]])
@@ -406,6 +511,31 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
         # from the shared FS on every host — barrier until writes land
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("kmerax:correct_write")
+        if per_host:
+            stats_all = np.asarray(multihost_utils.process_allgather(
+                np.asarray([n_reads, n_edited, n_edits], np.int64)))
+            n_reads, n_edited, n_edits = (int(x) for x in
+                                          stats_all.sum(axis=0))
+    if concat is not None:
+        # parts carry a .partNNNN suffix, so FastqWriter wrote them raw;
+        # rank 0 streams them in path order through one final writer (a
+        # single deterministic gzip stream when out_path is .gz) — bytes
+        # identical to the single-process single-stream run.
+        if jax.process_index() == 0:
+            import os
+            from kmerax.io.fastq import _open_w
+            with _open_w(concat) as dst:
+                for _, part, _i in units:
+                    with open(part, "rb") as src:
+                        while True:
+                            chunk = src.read(8 << 20)
+                            if not chunk:
+                                break
+                            dst.write(chunk)
+            for _, part, _i in units:
+                os.remove(part)
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("kmerax:correct_concat")
     stats = {"reads": n_reads, "edited_reads": n_edited, "edits": n_edits}
     m.stage_end("correct", **stats)
     log.info("correct: %s", stats)
