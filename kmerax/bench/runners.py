@@ -115,13 +115,15 @@ def bench_correct(cfg: KmeraxConfig, n_reads: int = 8192,
     # production correct path (run.CountState.solid_fn): Pallas VMEM query
     # kernel on TPU, packed solidity bitmap elsewhere
     from kmerax.spectrum.bloom import make_solid_fn
+    from kmerax.ops.pallas_correct import make_fused_eval
     sf = make_solid_fn(params, table, 3)
+    ef = make_fused_eval(params, table, 3)
 
     @jax.jit
     def step(state, bases):
         fixed, ne = correct_batch(bases, lengths, k, 3, solid_fn=sf,
                                   rounds=cfg.rounds, max_runs=cfg.max_runs,
-                                  max_edits=cfg.max_edits)
+                                  max_edits=cfg.max_edits, eval_fn=ef)
         return state + jnp.sum(ne)
 
     dt = _time_steps(step, jnp.zeros((), jnp.int32), batches,

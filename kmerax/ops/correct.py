@@ -158,7 +158,7 @@ def _eval_entries(bases, lengths, last_j, ent_r, ent_i, k, solid_fn):
 
 def correct_batch(bases, lengths, k: int, t: int, query_fn=None,
                   rounds: int = 2, max_runs: int = 8, max_edits: int = 8,
-                  solid_fn=None, max_cands: int = 4):
+                  solid_fn=None, max_cands: int = 4, eval_fn=None):
     """Correct a padded read batch (DESIGN.md §8 v2), bit-exact vs oracle.
 
     Args:
@@ -171,6 +171,10 @@ def correct_batch(bases, lengths, k: int, t: int, query_fn=None,
         (spectrum.bloom.query_solid) gives bit-identical output with far
         less gather traffic. Exactly one of query_fn / solid_fn required.
       max_cands: per-round candidate cap (DESIGN.md §8 v2).
+      eval_fn: optional fused candidate evaluator
+        (bases, lengths, last_j, ent_r, ent_i) -> (best_b, accept),
+        bit-identical to _eval_entries — the Pallas variant+lookup kernel
+        (ops.pallas_correct.make_fused_eval) on TPU.
     Returns (corrected bases (B, L) int32, n_edits (B,) int32 — edits kept;
     0 where the read was reverted for exceeding max_edits).
     """
@@ -204,8 +208,12 @@ def correct_batch(bases, lengths, k: int, t: int, query_fn=None,
             ent_cc = selc % max_cands            # within-read candidate index
             ent_i = jnp.where(pad, -1, capped.reshape(-1)[selc])
 
-            best_b, accept = _eval_entries(
-                bases, lengths, last_j, ent_r, ent_i, k, solid_fn)
+            if eval_fn is not None:
+                best_b, accept = eval_fn(bases, lengths, last_j,
+                                         ent_r, ent_i)
+            else:
+                best_b, accept = _eval_entries(
+                    bases, lengths, last_j, ent_r, ent_i, k, solid_fn)
 
             # conflict suppression (DESIGN.md §8 v2): a read's candidates
             # occupy consecutive flat slots in cc order, so earlier APPLIED

@@ -74,6 +74,17 @@ class CountState:
         from kmerax.spectrum.bloom import make_solid_fn
         return make_solid_fn(params, self.bloom_table, self.threshold)
 
+    def eval_fn(self, use_exact: bool = False):
+        """Fused Pallas candidate evaluator for ops.correct_batch (the
+        "Pallas vectorized spectrum lookup+edit" of BASELINE.json:5), or
+        None when the fused path does not apply (exact-spectrum correction,
+        minimizer bucket scheme, non-TPU backend, table beyond VMEM)."""
+        if use_exact:
+            return None
+        params = _bloom_params(self.cfg, self.cfg.k)
+        from kmerax.ops.pallas_correct import make_fused_eval
+        return make_fused_eval(params, self.bloom_table, self.threshold)
+
 
 def _bloom_params(cfg: KmeraxConfig, k: int) -> BloomParams:
     return BloomParams(k, cfg.bloom_log2_width, cfg.bloom_hashes,
@@ -397,17 +408,40 @@ def _correct_step_mesh(cfg: KmeraxConfig, state: CountState, mesh=None,
         # local copy so the whole stage touches only this process's devices
         table = jax.device_put(np.asarray(table),
                                NamedSharding(mesh, P(None)))
-    bitmap = jax.jit(solidity_bitmap, static_argnums=0)(params, table, t)
     rspec = P((AXIS_DATA, AXIS_BUCKET))
 
-    def local(bm, b, l):
-        sf = lambda cw, v: query_solid(params, bm, cw, v)
-        return correct_batch(b, l, k, t, solid_fn=sf, rounds=cfg.rounds,
-                             max_runs=cfg.max_runs, max_edits=cfg.max_edits)
+    # fused Pallas lookup+edit per device when it applies (hash scheme,
+    # TPU, table within VMEM): each device probes its replicated int32
+    # table copy; otherwise the 128x-smaller packed bitmap is replicated
+    # and the XLA candidate evaluation runs.
+    from kmerax.ops.pallas_correct import make_fused_eval
+    fused = make_fused_eval(params, table, t) is not None
+
+    if fused:
+        from kmerax.ops.pallas_correct import eval_entries_fused
+        from kmerax.spectrum.pallas_bloom import query_solid_pallas
+
+        def local(tbl, b, l):
+            sf = lambda cw, v: query_solid_pallas(params, tbl, t, cw, v)
+            ef = lambda bs, ln, lj, er, ei: eval_entries_fused(
+                params, tbl, t, bs, ln, lj, er, ei)
+            return correct_batch(b, l, k, t, solid_fn=sf, eval_fn=ef,
+                                 rounds=cfg.rounds, max_runs=cfg.max_runs,
+                                 max_edits=cfg.max_edits)
+
+        rep = table
+    else:
+        def local(bm, b, l):
+            sf = lambda cw, v: query_solid(params, bm, cw, v)
+            return correct_batch(b, l, k, t, solid_fn=sf, rounds=cfg.rounds,
+                                 max_runs=cfg.max_runs,
+                                 max_edits=cfg.max_edits)
+
+        rep = jax.jit(solidity_bitmap, static_argnums=0)(params, table, t)
 
     sm = shard_map(local, mesh=mesh, in_specs=(P(None), rspec, rspec),
                    out_specs=(rspec, rspec), check_vma=False)
-    step = jax.jit(lambda b, l: sm(bitmap, b, l))
+    step = jax.jit(lambda b, l: sm(rep, b, l))
     rsh = NamedSharding(mesh, rspec)
     if local_only:
         return step, (lambda a: jax.device_put(jnp.asarray(a), rsh))
@@ -476,13 +510,14 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
             step, put = _correct_step_mesh(cfg, state)
         else:
             sf = state.solid_fn(use_exact)
+            ef = state.eval_fn(use_exact)
 
             @jax.jit
             def step(bases, lengths):
                 return correct_batch(bases, lengths, k, t, solid_fn=sf,
                                      rounds=cfg.rounds,
                                      max_runs=cfg.max_runs,
-                                     max_edits=cfg.max_edits)
+                                     max_edits=cfg.max_edits, eval_fn=ef)
 
             put = jnp.asarray
 
