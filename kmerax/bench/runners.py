@@ -126,8 +126,12 @@ def bench_correct(cfg: KmeraxConfig, n_reads: int = 8192,
                                   max_edits=cfg.max_edits, eval_fn=ef)
         return state + jnp.sum(ne)
 
+    # warmup must touch EVERY distinct batch: the first execution of a
+    # batch pays one-time dispatch/transfer costs on the tunnel platform
+    # (measured ~15 ms, experiments/correct_profile_r3.py) that are not
+    # steady-state throughput.
     dt = _time_steps(step, jnp.zeros((), jnp.int32), batches,
-                     warmup=1, reps=3)
+                     warmup=len(batches), reps=6)
     rate = n_reads / dt
     return {"metric": f"reads_per_s_per_chip_k{k}", "value": round(rate, 1),
             "unit": "reads/s/chip", "batch_wall_s": round(dt, 5),
