@@ -104,7 +104,7 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench", help="run the benchmark harness")
     _add_common(p)
     p.add_argument("--preset", default="count",
-                   choices=["count", "correct", "e2e"])
+                   choices=["count", "correct", "align", "e2e", "all"])
     p.add_argument("--reads", type=int, default=20000)
     p.add_argument("--acceptance", type=int, default=None, metavar="N",
                    help="run BASELINE.md acceptance config N (1-5) "

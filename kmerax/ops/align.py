@@ -149,10 +149,12 @@ def build_contig_index(contig_bases: list, k: int, chunk: int = 1 << 20):
 
 
 def validate_batch(cat_dev, index_uniq, index_pay, bases, lengths,
-                   k: int, band: int):
+                   k: int, band: int, index_pref=None):
     """Batched seed-extend read validation (DESIGN.md §10b), bit-exact vs
     oracle.validate_read. Returns (found (B,), strand (B,), pos (B,),
-    score (B,) — NEG_INF when unaligned)."""
+    score (B,) — NEG_INF when unaligned). `index_pref` = optional
+    (ptable, steps) from spectrum.exact.prefix_table for the fast seed
+    search (same results)."""
     from kmerax.core.codec import canonical_words
     from kmerax.core.kmers import extract_kmers
 
@@ -160,7 +162,8 @@ def validate_batch(cat_dev, index_uniq, index_pay, bases, lengths,
     bases = bases.astype(jnp.int32)
     words, valid = extract_kmers(bases, k)
     canon, is_fwd = canonical_words(words, k)
-    off, payload, found = seed_positions(canon, valid, index_uniq, index_pay)
+    off, payload, found = seed_positions(canon, valid, index_uniq, index_pay,
+                                         pref=index_pref)
     rfwd = jnp.take_along_axis(is_fwd, off[:, None], axis=1)[:, 0]
     cfwd = (payload & 1) == 1
     pos = payload >> 1
@@ -178,14 +181,16 @@ def validate_batch(cat_dev, index_uniq, index_pay, bases, lengths,
     oob = (tidx < 0) | (tidx >= M) | ~found[:, None]
     T = jnp.where(oob, 4,
                   cat_dev[jnp.clip(tidx, 0, M - 1)].astype(jnp.int32))
-    score = banded_align_scores(Q, T, lengths, lengths, band)
+    from kmerax.ops.pallas_align import banded_align_scores_auto
+    score = banded_align_scores_auto(Q, T, lengths, lengths, band)
     score = jnp.where(found & (lengths >= k), score, NEG_INF)
     found = found & (lengths >= k)
     return found, jnp.where(found, strand, 0), \
         jnp.where(found, pos, -1), score
 
 
-def seed_positions(read_canon, read_valid, index_uniq, index_pos):
+def seed_positions(read_canon, read_valid, index_uniq, index_pos,
+                   window: int = 8, pref=None):
     """First-seed lookup: for each read, the first valid k-mer with an exact
     hit in the target k-mer index (SURVEY.md §3.3 "seed-extend").
 
@@ -193,10 +198,24 @@ def seed_positions(read_canon, read_valid, index_uniq, index_pos):
     index_uniq: (M, W) sorted canonical target k-mers (sentinel padded);
     index_pos: (M,) int32 payload (e.g. target_id << 20 | position).
     Returns (read_offset (B,), payload (B,), found (B,)).
-    """
-    from kmerax.spectrum.exact import searchsorted_words
 
-    idx, found = searchsorted_words(index_uniq, read_canon)
+    The binary search dominated the align stage (~90% of wall,
+    experiments/align_profile r4); `pref` = optional (ptable, steps) from
+    spectrum.exact.prefix_table gives each search a first-level bucket
+    head start that cuts it from log2(M) to a couple of gather steps —
+    identical results. (A windowed early-exit lax.while_loop was measured
+    and rejected: loop machinery cost more than the saved probes, and one
+    unalignable read forces every round anyway.)
+    """
+    del window
+    from kmerax.spectrum.exact import searchsorted_words, \
+        searchsorted_words_pref
+
+    if pref is None:
+        idx, found = searchsorted_words(index_uniq, read_canon)
+    else:
+        idx, found = searchsorted_words_pref(index_uniq, read_canon,
+                                             pref[0], pref[1])
     found = found & read_valid
     first = jnp.argmax(found, axis=1).astype(jnp.int32)
     any_hit = jnp.any(found, axis=1)

@@ -595,10 +595,13 @@ def run_align(cfg: KmeraxConfig, paths, contigs_fasta: str,
     cat, uniq, pay = build_contig_index(contigs, k)
     cat_dev = jnp.asarray(cat.astype(np.int8)) if len(cat) \
         else jnp.zeros(1, jnp.int8)
+    from kmerax.spectrum.exact import prefix_table
+    pref = prefix_table(uniq)
 
     @jax.jit
     def step(bases, lengths):
-        return validate_batch(cat_dev, uniq, pay, bases, lengths, k, band)
+        return validate_batch(cat_dev, uniq, pay, bases, lengths, k, band,
+                              index_pref=pref)
 
     if isinstance(paths, str):
         paths = [paths]

@@ -12,6 +12,7 @@ canonical k-mer (bits above 2k would be set) and sorts after every real one.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -122,6 +123,50 @@ def searchsorted_words(uniq_words: jnp.ndarray, query_words: jnp.ndarray):
     steps = max(1, (m - 1).bit_length())
     lo = jnp.zeros(query_words.shape[:-1], dtype=jnp.int32)
     hi = jnp.full(query_words.shape[:-1], m, dtype=jnp.int32)  # exclusive
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        mid_rows = uniq_words[jnp.clip(mid, 0, m - 1)]
+        less = words_less(mid_rows, query_words)
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    idx = jnp.clip(lo, 0, m - 1)
+    found = jnp.all(uniq_words[idx] == query_words, axis=-1)
+    return idx, found
+
+
+PREFIX_BITS = 16
+
+
+def prefix_table(uniq_words: np.ndarray):
+    """Host-built first-level bucket index for searchsorted_words_pref.
+
+    Buckets rows of a sorted (M, W) spectrum by the high PREFIX_BITS of the
+    most-significant word. Returns (ptable (2^PB + 1,) int32 device array,
+    steps) where ptable[key] is the first row whose key >= key and `steps`
+    is the static in-bucket binary-search depth (log2 of the largest
+    bucket) — cuts the search from log2(M) to a couple of gather steps.
+    Sentinel rows key to the last bucket and stay inert.
+    """
+    rows = np.asarray(uniq_words)
+    key = (rows[:, -1].astype(np.uint32) >> (32 - PREFIX_BITS)).astype(
+        np.int64)
+    nb = 1 << PREFIX_BITS
+    ptable = np.searchsorted(key, np.arange(nb), side="left")
+    ptable = np.concatenate([ptable, [len(rows)]]).astype(np.int32)
+    maxb = int((ptable[1:] - ptable[:-1]).max()) if len(rows) else 1
+    return jnp.asarray(ptable), max(1, maxb.bit_length())
+
+
+def searchsorted_words_pref(uniq_words, query_words, ptable, steps: int):
+    """searchsorted_words with a prefix-table head start: identical
+    (idx, found) for found queries; for misses `found` is identically
+    False but idx is unspecified (callers use idx only under found)."""
+    from kmerax.core.codec import words_less
+
+    m = uniq_words.shape[0]
+    key = (query_words[..., -1] >> (32 - PREFIX_BITS)).astype(jnp.int32)
+    lo = ptable[key]
+    hi = ptable[key + 1]
     for _ in range(steps):
         mid = (lo + hi) // 2
         mid_rows = uniq_words[jnp.clip(mid, 0, m - 1)]

@@ -75,9 +75,77 @@ def test_pallas_insert_matches_xla(tpu):
     assert np.array_equal(np.asarray(tp), np.asarray(tx))
 
 
-# floor = 0.8x of the last recorded bench (BENCH_r02: 118M k-mers/s/chip
-# via the Pallas VMEM insert kernel) so real regressions trip it
-COUNT_FLOOR = 0.8 * 118e6
+def test_pallas_align_matches_xla(tpu):
+    """The compiled Pallas banded aligner agrees bit-for-bit with the XLA
+    max-plus path on the real chip (round-4 kernel, SURVEY.md §2 #14)."""
+    import jax
+    import jax.numpy as jnp
+    from kmerax.ops.align import banded_align_scores
+    from kmerax.ops.pallas_align import banded_align_scores_pallas
+
+    rng = np.random.default_rng(3)
+    B, n, band = 1024, 150, 15
+    q = rng.integers(0, 5, (B, n)).astype(np.int32)
+    t = np.where(rng.random((B, n)) < 0.05,
+                 rng.integers(0, 4, (B, n)), q).astype(np.int32)
+    qlen = rng.integers(0, n + 1, B).astype(np.int32)
+    tlen = rng.integers(0, n + 1, B).astype(np.int32)
+    args = tuple(map(jnp.asarray, (q, t, qlen, tlen)))
+    ref = np.asarray(jax.jit(
+        lambda *a: banded_align_scores(*a, band))(*args))
+    got = np.asarray(jax.jit(
+        lambda *a: banded_align_scores_pallas(*a, band))(*args))
+    assert np.array_equal(ref, got)
+
+
+def test_fused_correct_matches_xla_compiled(tpu):
+    """Compiled fused Pallas lookup+edit parity on the real chip at bench
+    width (round-2 task 8 / round-3 Missing #6: moved in-suite from
+    experiments/fused_tpu_check.py)."""
+    import jax
+    import jax.numpy as jnp
+    from kmerax.config import KmeraxConfig
+    from kmerax.core import canonical_words, extract_kmers
+    from kmerax.ops.correct import correct_batch
+    from kmerax.ops.pallas_correct import make_fused_eval
+    from kmerax.pipeline.run import _bloom_params
+    from kmerax.spectrum.bloom import insert, make_solid_fn, make_table
+    from kmerax.bench.runners import _sim_batch
+
+    cfg = KmeraxConfig(k=31, bloom_log2_width=24)
+    k = cfg.k
+    params = _bloom_params(cfg, k)
+    B, L = 1024, 150
+    bases = jnp.asarray(_sim_batch(B, L, seed=0, genome_len=1 << 14))
+    lengths = jnp.full(B, L, dtype=jnp.int32)
+
+    @jax.jit
+    def bld(t, b):
+        w, v = extract_kmers(b, k)
+        c, _ = canonical_words(w, k)
+        return insert(params, t, c, v)
+
+    table = bld(make_table(params), bases)
+    t = 3
+    sf = make_solid_fn(params, table, t)
+    ef = make_fused_eval(params, table, t)
+    assert ef is not None, \
+        "fused path silently unavailable at bench width (regression)"
+    ref = jax.jit(lambda b: correct_batch(
+        b, lengths, k, t, solid_fn=sf, rounds=cfg.rounds))(bases)
+    got = jax.jit(lambda b: correct_batch(
+        b, lengths, k, t, solid_fn=sf, rounds=cfg.rounds,
+        eval_fn=ef))(bases)
+    assert np.array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    assert np.array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+
+# floors = 0.8x of the last recorded bench (BENCH_r04 methodology: chained
+# fresh-batch passes; count 128.2M k-mers/s, correct 414.4k reads/s,
+# align 183.1k reads/s on the v5e chip) so real regressions trip them
+COUNT_FLOOR = 0.8 * 128.2e6
+CORRECT_FLOOR = 0.8 * 414.4e3
+ALIGN_FLOOR = 0.8 * 131e3
 
 
 def test_count_perf_floor(tpu):
@@ -87,3 +155,22 @@ def test_count_perf_floor(tpu):
 
     r = bench_count(KmeraxConfig(k=31, bloom_log2_width=24), n_reads=16384)
     assert r["value"] > COUNT_FLOOR, f"count throughput regressed: {r}"
+
+
+def test_correct_perf_floor(tpu):
+    """Correction (fused Pallas path) must stay above its floor."""
+    from kmerax.config import KmeraxConfig
+    from kmerax.bench.runners import bench_correct
+
+    r = bench_correct(KmeraxConfig(k=31, bloom_log2_width=24),
+                      n_reads=4096)
+    assert r["value"] > CORRECT_FLOOR, f"correct throughput regressed: {r}"
+
+
+def test_align_perf_floor(tpu):
+    """Align-validate (Pallas banded DP + prefix seed search) floor."""
+    from kmerax.config import KmeraxConfig
+    from kmerax.bench.runners import bench_align
+
+    r = bench_align(KmeraxConfig(k=31), n_reads=16384)
+    assert r["value"] > ALIGN_FLOOR, f"align throughput regressed: {r}"
