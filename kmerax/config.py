@@ -26,6 +26,11 @@ class KmeraxConfig:
     # counting Bloom spectrum (DESIGN.md §5)
     bloom_log2_width: int = 24
     bloom_hashes: int = 4
+    # counter storage: "i32", "p16" (two saturating 16-bit counters per
+    # word — halves table bytes so 2^25 tables stay VMEM/Pallas-resident),
+    # or "auto" (p16 exactly when the i32 table would fall off the Pallas
+    # VMEM budget but the p16 one fits; single-device meshes only)
+    bloom_counter: str = "auto"
 
     # exact spectrum (DESIGN.md §6): needed for auto-threshold + assembly
     exact_spectrum: bool = True
@@ -70,6 +75,8 @@ class KmeraxConfig:
             raise ValueError("num_buckets must be a power of two")
         if self.bucket_scheme not in ("hash", "minimizer"):
             raise ValueError("bucket_scheme must be 'hash' or 'minimizer'")
+        if self.bloom_counter not in ("auto", "i32", "p16"):
+            raise ValueError("bloom_counter must be auto, i32, or p16")
         if (nb - 1).bit_length() > self.bloom_log2_width - 7:
             raise ValueError(
                 "bloom_log2_width must be >= log2(num_buckets) + 7 "

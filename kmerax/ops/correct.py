@@ -158,7 +158,8 @@ def _eval_entries(bases, lengths, last_j, ent_r, ent_i, k, solid_fn):
 
 def correct_batch(bases, lengths, k: int, t: int, query_fn=None,
                   rounds: int = 2, max_runs: int = 8, max_edits: int = 8,
-                  solid_fn=None, max_cands: int = 4, eval_fn=None):
+                  solid_fn=None, max_cands: int = 4, eval_fn=None,
+                  uniform_width: bool = False):
     """Correct a padded read batch (DESIGN.md §8 v2), bit-exact vs oracle.
 
     Args:
@@ -175,6 +176,12 @@ def correct_batch(bases, lengths, k: int, t: int, query_fn=None,
         (bases, lengths, last_j, ent_r, ent_i) -> (best_b, accept),
         bit-identical to _eval_entries — the Pallas variant+lookup kernel
         (ops.pallas_correct.make_fused_eval) on TPU.
+      uniform_width: REQUIRED when solid_fn contains collectives (the
+        routed sharded-spectrum path): replaces the data-dependent width
+        dispatch with one unconditional full-width apply per round, so
+        every mesh device executes the identical collective schedule.
+        Bit-identical output: an all-padding apply accepts nothing and
+        marks the read done, exactly like the skipped branch.
     Returns (corrected bases (B, L) int32, n_edits (B,) int32 — edits kept;
     0 where the read was reverted for exceeding max_edits).
     """
@@ -261,8 +268,13 @@ def correct_batch(bases, lengths, k: int, t: int, query_fn=None,
              for s in range(max_cands)], axis=1)
 
         livef = (capped >= 0).reshape(-1)
-        n_ent = jnp.sum(livef.astype(jnp.int32))
 
+        if uniform_width:
+            # collective-safe: one full-width apply, no data-dependent
+            # branching (see docstring)
+            return apply_at_width(BM, capped, livef)((bases, edits, done))
+
+        n_ent = jnp.sum(livef.astype(jnp.int32))
         # width dispatch: most rounds have few candidates; jit compiles all
         # widths but runtime picks the smallest sufficient one.
         ws = sorted({min(BM, max(128, B // 4)), min(BM, max(128, B)),

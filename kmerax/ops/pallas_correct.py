@@ -276,7 +276,8 @@ def eval_entries_fused(params, table, t, bases, lengths, last_j,
                                rows, meta, interpret)
         solid = _query_pallas_flat(
             d, nrows, jnp.asarray(t, jnp.int32), blk.reshape(-1),
-            lp.reshape(-1), interpret, table.reshape(nrows, 128))
+            lp.reshape(-1), interpret, params.counter == "p16",
+            table.reshape(nrows, 128))
         lanes_parts.append(
             solid.reshape(Qp, 128)[:Q, :nvar * k].reshape(Q, nvar, k))
     scores = jnp.sum(jnp.concatenate(lanes_parts, axis=1), axis=-1,

@@ -45,6 +45,10 @@ class CountState:
     sharded: Optional[object] = None  # ShardedParams when counted on a mesh
     host: Optional[object] = None   # HostSpectrum — always set when
                                     # exact_spectrum=True; scales past HBM
+    sharded_table: Optional[jnp.ndarray] = None  # (S, width/S) merged
+                                    # bucket-sharded table (mesh counts):
+                                    # the routed-correction spectrum for
+                                    # tables too large to replicate/fuse
 
     def query_fn(self, use_exact: bool = False):
         """Spectrum query closure for ops.correct_batch."""
@@ -86,10 +90,30 @@ class CountState:
         return make_fused_eval(params, self.bloom_table, self.threshold)
 
 
+# replicated merged-table ceiling: past this the mesh count keeps the
+# spectrum bucket-sharded only and correction routes probes to owners
+REPLICATE_TABLE_BUDGET = 1 << 29        # 512 MB
+
+# observability: the spectrum path the last mesh correct step selected
+# (fused-pallas | routed-sharded | replicated-bitmap)
+LAST_CORRECT_PATH = None
+
+
 def _bloom_params(cfg: KmeraxConfig, k: int) -> BloomParams:
+    counter = cfg.bloom_counter
+    if counter == "auto":
+        # p16 exactly when it rescues VMEM/Pallas residency (the counting
+        # VMEM cliff, round-3 VERDICT Missing #3); mesh counts keep i32
+        # shards (psum of packed halfwords would carry across counters)
+        from kmerax.spectrum.pallas_bloom import VMEM_BUDGET
+
+        width = 1 << cfg.bloom_log2_width
+        single = cfg.mesh_data * cfg.mesh_bucket == 1
+        counter = "p16" if (single and width * 4 > VMEM_BUDGET
+                            and width * 2 <= VMEM_BUDGET) else "i32"
     return BloomParams(k, cfg.bloom_log2_width, cfg.bloom_hashes,
                        cfg.minimizer_m, (cfg.num_buckets - 1).bit_length(),
-                       cfg.bucket_scheme)
+                       cfg.bucket_scheme, counter=counter)
 
 
 def _feed_global(arr, sharding):
@@ -350,7 +374,18 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
     if pending is not None and off > 0:
         flush(pending, off)
 
-    merged = merge_and_replicate(mesh)(table)        # (S, width) replicated
+    from kmerax.spectrum.sharded import merge_keep_sharded
+    merged_sharded = merge_keep_sharded(mesh)(table)  # (S, width/S) sharded
+    if sp.bloom.width * 4 <= REPLICATE_TABLE_BUDGET:
+        merged = merge_and_replicate(mesh)(table)    # (width,) replicated
+    else:
+        # tables past the replication budget stay bucket-sharded only;
+        # correction runs the routed-query path (round-3 VERDICT Missing
+        # #2) and never materializes a per-device full-width copy
+        log.info("count[mesh]: table %d B > replicate budget — keeping "
+                 "bucket-sharded only (routed correction)",
+                 sp.bloom.width * 4)
+        merged = None
     hist = None
     exact_state = None
     host = None
@@ -373,7 +408,7 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
         raise ValueError("auto threshold needs exact_spectrum=True")
     m.stage_end("count", reads=n_reads, kmers=n_kmers, threshold=t)
     return CountState(cfg, merged, exact_state, hist, t, n_reads, n_kmers,
-                      sharded=sp, host=host)
+                      sharded=sp, host=host, sharded_table=merged_sharded)
 
 
 def _correct_step_mesh(cfg: KmeraxConfig, state: CountState, mesh=None,
@@ -403,19 +438,31 @@ def _correct_step_mesh(cfg: KmeraxConfig, state: CountState, mesh=None,
     k, t = cfg.k, state.threshold
     params = _bloom_params(cfg, k)
     table = state.bloom_table
-    if local_only:
+    if local_only and table is not None:
         # the merged table is replicated on the GLOBAL mesh; re-home a
         # local copy so the whole stage touches only this process's devices
         table = jax.device_put(np.asarray(table),
                                NamedSharding(mesh, P(None)))
     rspec = P((AXIS_DATA, AXIS_BUCKET))
 
-    # fused Pallas lookup+edit per device when it applies (hash scheme,
-    # TPU, table within VMEM): each device probes its replicated int32
-    # table copy; otherwise the 128x-smaller packed bitmap is replicated
-    # and the XLA candidate evaluation runs.
+    # correction spectrum priority (round-3 VERDICT Missing #2):
+    #   1. fused Pallas lookup+edit against a replicated VMEM table
+    #      (hash scheme, TPU, table within budget);
+    #   2. routed queries against the bucket-SHARDED merged table
+    #      (spectra too large to replicate/fuse; per-device memory 1/S);
+    #   3. replicated packed solidity bitmap + XLA eval (single-shard
+    #      meshes / no sharded table available).
     from kmerax.ops.pallas_correct import make_fused_eval
-    fused = make_fused_eval(params, table, t) is not None
+    fused = table is not None and \
+        make_fused_eval(params, table, t) is not None
+    routed = (not fused and not local_only and state.sharded is not None
+              and state.sharded_table is not None
+              and mesh.shape[AXIS_BUCKET] > 1)
+    global LAST_CORRECT_PATH
+    LAST_CORRECT_PATH = ("fused-pallas" if fused else
+                         "routed-sharded" if routed else
+                         "replicated-bitmap")
+    log.info("correct[mesh]: spectrum path = %s", LAST_CORRECT_PATH)
 
     if fused:
         from kmerax.ops.pallas_correct import eval_entries_fused
@@ -430,7 +477,29 @@ def _correct_step_mesh(cfg: KmeraxConfig, state: CountState, mesh=None,
                                  max_edits=cfg.max_edits)
 
         rep = table
+        tspec = P(None)
+    elif routed:
+        from kmerax.spectrum.sharded import routed_query_fn
+
+        sp = state.sharded
+
+        def local(tbl_shard, b, l):
+            qf = routed_query_fn(sp, tbl_shard[0], k)
+            sf = lambda cw, v: (qf(cw, v) >= t) & v
+            return correct_batch(b, l, k, t, solid_fn=sf,
+                                 rounds=cfg.rounds, max_runs=cfg.max_runs,
+                                 max_edits=cfg.max_edits,
+                                 uniform_width=True)
+
+        rep = state.sharded_table
+        tspec = P(AXIS_BUCKET, None)
     else:
+        if table is None:
+            raise ValueError(
+                "no replicated table (past replicate budget) and the "
+                "routed path is unavailable — count on a bucket-sharded "
+                "mesh (mesh_bucket > 1) for tables this large")
+
         def local(bm, b, l):
             sf = lambda cw, v: query_solid(params, bm, cw, v)
             return correct_batch(b, l, k, t, solid_fn=sf, rounds=cfg.rounds,
@@ -438,8 +507,9 @@ def _correct_step_mesh(cfg: KmeraxConfig, state: CountState, mesh=None,
                                  max_edits=cfg.max_edits)
 
         rep = jax.jit(solidity_bitmap, static_argnums=0)(params, table, t)
+        tspec = P(None)
 
-    sm = shard_map(local, mesh=mesh, in_specs=(P(None), rspec, rspec),
+    sm = shard_map(local, mesh=mesh, in_specs=(tspec, rspec, rspec),
                    out_specs=(rspec, rspec), check_vma=False)
     step = jax.jit(lambda b, l: sm(rep, b, l))
     rsh = NamedSharding(mesh, rspec)

@@ -24,6 +24,7 @@ from kmerax.core.hash import bloom_indices
 from kmerax.core.minimizer import minimizers
 
 COUNT_SATURATE = 1 << 30
+SAT16 = (1 << 15) - 1               # p16 counter saturation ceiling
 
 
 @dataclass(frozen=True)
@@ -34,19 +35,50 @@ class BloomParams:
     minimizer_m: int = 11
     log2_buckets: int = 8           # T = 2^log2_buckets segments
     bucket_scheme: str = "hash"     # "hash" (DESIGN.md §5a) | "minimizer" (§4)
+    # counter storage: "i32" = one int32 per counter; "p16" = two
+    # saturating 16-bit counters packed per int32 word (block-row pairs) —
+    # halves the table bytes so 2^25-counter tables stay VMEM-resident for
+    # the Pallas insert/query kernels (round-3 VERDICT tasks 2-3).
+    # Saturation at SAT16 is batch-order-independent (min(sum, SAT16)), and
+    # solidity is unchanged for any threshold t <= SAT16.
+    counter: str = "i32"
 
     def __post_init__(self):
         assert self.log2_buckets <= self.log2_width - 7 <= 31
         assert self.num_hashes <= 4
         assert self.bucket_scheme in ("hash", "minimizer")
+        assert self.counter in ("i32", "p16")
+        if self.counter == "p16":
+            assert self.log2_width >= 9, "p16 needs >= 2 block rows"
 
     @property
     def width(self) -> int:
         return 1 << self.log2_width
 
+    @property
+    def table_entries(self) -> int:
+        """int32 words in the table array (width for i32, width/2 for p16)."""
+        return self.width if self.counter == "i32" else self.width // 2
+
 
 def make_table(params: BloomParams) -> jnp.ndarray:
-    return jnp.zeros(params.width, dtype=jnp.int32)
+    return jnp.zeros(params.table_entries, dtype=jnp.int32)
+
+
+def pack16(table_i32: jnp.ndarray) -> jnp.ndarray:
+    """(width,) int32 counters -> (width/2,) p16 words: adjacent 128-lane
+    BLOCK ROWS pair into one word row, word[r,l] = cnt[2r,l] | cnt[2r+1,l]<<16
+    (counters must already be <= SAT16)."""
+    t = table_i32.reshape(-1, 2, 128)
+    return (t[:, 0] | (t[:, 1] << 16)).reshape(-1)
+
+
+def unpack16(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack16: (width/2,) p16 words -> (width,) int32 counters."""
+    w = packed.reshape(-1, 128)
+    lo = w & 0xFFFF
+    hi = (w >> 16) & 0xFFFF
+    return jnp.stack([lo, hi], axis=1).reshape(-1)
 
 
 def bucket_of(params: BloomParams, canon_words: jnp.ndarray) -> jnp.ndarray:
@@ -103,12 +135,21 @@ def insert(params: BloomParams, table: jnp.ndarray,
     so the insert is ONE vectorized row scatter-add per k-mer: build the
     d-lane one-hot row and `table2d.at[block].add(row)` (commutative adds;
     invalid k-mers scatter to a dropped out-of-range block).
+
+    p16 tables saturate at SAT16 per batch: min(sum, SAT16) is associative
+    over batch splits, so results stay order/mesh independent.
     """
     from kmerax.spectrum.pallas_bloom import insert_pallas, pallas_insert_ok
 
     if pallas_insert_ok(params, table_entries=table.shape[0]):
         return insert_pallas(params, table, canon_words, valid,
                              local_bits=local_bits)
+    if params.counter == "p16":
+        import dataclasses
+        t32 = unpack16(table)
+        t32 = insert(dataclasses.replace(params, counter="i32"),
+                     t32, canon_words, valid, local_bits=local_bits)
+        return pack16(jnp.minimum(t32, SAT16))
     from kmerax.core.hash import bloom_blocks_lanes
 
     d = params.num_hashes
@@ -155,6 +196,8 @@ def solidity_bitmap(params: BloomParams, table: jnp.ndarray,
     Pallas kernels, one gather word per probe for XLA, and 128x less
     all-gather/H2D traffic when replicating the merged spectrum.
     """
+    if params.counter == "p16":
+        table = unpack16(table)
     bits = (table.reshape(-1, 32) >= t).astype(jnp.uint32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
     return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
@@ -224,7 +267,16 @@ def query(params: BloomParams, table: jnp.ndarray,
     idx = probe_indices(params, canon_words)
     if local_bits is not None:
         idx = idx & ((1 << local_bits) - 1)
-    counts = jnp.min(table[idx], axis=-1)
+    if params.counter == "p16":
+        # counter c lives at packed word (blockrow(c)>>1)*128 + lane(c),
+        # halfword blockrow(c)&1 (pack16 layout)
+        brow = idx >> 7
+        widx = ((brow >> 1) << 7) | (idx & 127)
+        w = table[widx]
+        vals = jnp.where((brow & 1) == 1, (w >> 16) & 0xFFFF, w & 0xFFFF)
+        counts = jnp.min(vals, axis=-1)
+    else:
+        counts = jnp.min(table[idx], axis=-1)
     counts = jnp.minimum(counts, COUNT_SATURATE)
     if valid is not None:
         counts = jnp.where(valid, counts, 0)

@@ -39,8 +39,8 @@ VALID_BIT = 28                      # lanepack bit flagging a live element
 VMEM_BUDGET = 100 * 1024 * 1024     # table bytes allowed in VMEM
 
 
-def _insert_kernel(d: int, blocks_ref, lp_ref, tbl_hbm, out_hbm, tbl_ref,
-                   oh_ref, sem):
+def _insert_kernel(d: int, packed16: bool, blocks_ref, lp_ref, tbl_hbm,
+                   out_hbm, tbl_ref, oh_ref, sem):
     """One grid step: scatter-add CHUNK elements into the resident table.
 
     The table stays in HBM between calls (an aliased VMEM in/out window
@@ -83,15 +83,29 @@ def _insert_kernel(d: int, blocks_ref, lp_ref, tbl_hbm, out_hbm, tbl_ref,
             preferred_element_type=jnp.float32)
         oh_ref[sub * 128:(sub + 1) * 128, :] = oh.astype(jnp.int32)
 
-    # stage B: read-modify-write per element, manually 16x unrolled
+    # stage B: read-modify-write per element, manually 16x unrolled.
+    # p16 (bloom.pack16 layout): block b lives at word row b>>1, halfword
+    # b&1; its one-hot (values <= d) adds shifted into that half. The low
+    # half stays <= SAT16 before the clamp (SAT16 + d < 2^16), so the add
+    # can never carry across the halfword boundary; both halves re-clamp
+    # to SAT16 every touch (idempotent on untouched halves).
     def body(g, _):
         for v in range(2):
             col = 2 * g + v
             for u in range(8):
                 b = blocks_ref[0, u, col]
-                tbl_ref[pl.ds(b, 1), :] = (
-                    tbl_ref[pl.ds(b, 1), :]
-                    + oh_ref[pl.ds(u * SUB + col, 1), :])
+                if packed16:
+                    r = b >> 1
+                    w = tbl_ref[pl.ds(r, 1), :] \
+                        + (oh_ref[pl.ds(u * SUB + col, 1), :] << ((b & 1)
+                                                                  * 16))
+                    lo = jnp.minimum(w & 0xFFFF, 0x7FFF)
+                    hi = jnp.minimum((w >> 16) & 0xFFFF, 0x7FFF)
+                    tbl_ref[pl.ds(r, 1), :] = lo | (hi << 16)
+                else:
+                    tbl_ref[pl.ds(b, 1), :] = (
+                        tbl_ref[pl.ds(b, 1), :]
+                        + oh_ref[pl.ds(u * SUB + col, 1), :])
         return 0
 
     jax.lax.fori_loop(0, SUB // 2, body, 0)
@@ -103,9 +117,9 @@ def _insert_kernel(d: int, blocks_ref, lp_ref, tbl_hbm, out_hbm, tbl_ref,
         cp.wait()
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def _insert_pallas_flat(d: int, nrows: int, blocks, lp, interpret: bool,
-                        table2d):
+                        packed16: bool, table2d):
     """blocks/lp: flat (N,) int32 padded to CHUNK multiples; table (nrows,128)."""
     n = blocks.shape[0]
     nsteps = n // CHUNK
@@ -125,7 +139,7 @@ def _insert_pallas_flat(d: int, nrows: int, blocks, lp, interpret: bool,
                         pltpu.SemaphoreType.DMA(())],
     )
     f = pl.pallas_call(
-        functools.partial(_insert_kernel, d),
+        functools.partial(_insert_kernel, d, packed16),
         out_shape=jax.ShapeDtypeStruct((nrows, 128), jnp.int32),
         grid_spec=grid_spec,
         input_output_aliases={2: 0},
@@ -168,12 +182,13 @@ def insert_pallas(params, table, canon_words, valid, *,
         fl = jnp.concatenate([fl, jnp.zeros(pad, jnp.int32)])
     nrows = table.shape[0] // 128
     out = _insert_pallas_flat(params.num_hashes, nrows, fb, fl, interpret,
+                              params.counter == "p16",
                               table.reshape(nrows, 128))
     return out.reshape(-1)
 
 
-def _query_kernel(d: int, t_ref, blocks_ref, lp_ref, tbl_hbm, out_ref,
-                  tbl_ref, oh_ref, rowbuf, sem):
+def _query_kernel(d: int, packed16: bool, t_ref, blocks_ref, lp_ref,
+                  tbl_hbm, out_ref, tbl_ref, oh_ref, rowbuf, sem):
     """One grid step: solidity-test CHUNK elements against the resident
     count table (the Pallas "spectrum lookup" of BASELINE.json:5).
 
@@ -214,7 +229,13 @@ def _query_kernel(d: int, t_ref, blocks_ref, lp_ref, tbl_hbm, out_ref,
             col = 2 * g + v
             for u in range(8):
                 b = blocks_ref[0, u, col]
-                rowbuf[pl.ds(u * SUB + col, 1), :] = tbl_ref[pl.ds(b, 1), :]
+                if packed16:
+                    w = tbl_ref[pl.ds(b >> 1, 1), :]
+                    rowbuf[pl.ds(u * SUB + col, 1), :] = \
+                        (w >> ((b & 1) * 16)) & 0xFFFF
+                else:
+                    rowbuf[pl.ds(u * SUB + col, 1), :] = \
+                        tbl_ref[pl.ds(b, 1), :]
         return 0
 
     jax.lax.fori_loop(0, SUB // 2, body, 0)
@@ -227,9 +248,9 @@ def _query_kernel(d: int, t_ref, blocks_ref, lp_ref, tbl_hbm, out_ref,
     out_ref[:] = ((nbad == 0) & (npro > 0)).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 5, 6))
 def _query_pallas_flat(d: int, nrows: int, t, blocks, lp, interpret: bool,
-                       table2d):
+                       packed16: bool, table2d):
     """blocks/lp: flat (N,) int32 padded to CHUNK multiples. Returns
     (N, 1) int32 solidity flags."""
     n = blocks.shape[0]
@@ -253,7 +274,7 @@ def _query_pallas_flat(d: int, nrows: int, t, blocks, lp, interpret: bool,
                         pltpu.SemaphoreType.DMA(())],
     )
     f = pl.pallas_call(
-        functools.partial(_query_kernel, d),
+        functools.partial(_query_kernel, d, packed16),
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -290,6 +311,7 @@ def query_solid_pallas(params, table, t, canon_words, valid, *,
     nrows = table.shape[0] // 128
     out = _query_pallas_flat(params.num_hashes, nrows,
                              jnp.asarray(t, jnp.int32), fb, fl, interpret,
+                             params.counter == "p16",
                              table.reshape(nrows, 128))
     return out[:n, 0].reshape(valid.shape) > 0
 
@@ -304,6 +326,6 @@ def pallas_insert_ok(params, backend: str | None = None,
         return False
     backend = backend or jax.default_backend()
     entries = table_entries if table_entries is not None \
-        else (1 << params.log2_width)
+        else params.table_entries
     return backend == "tpu" and entries * 4 <= VMEM_BUDGET and \
         entries % 128 == 0

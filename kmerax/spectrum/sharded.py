@@ -49,6 +49,8 @@ class ShardedParams:
         assert S & (S - 1) == 0, "bucket shards must be a power of two"
         assert S <= (1 << self.bloom.log2_buckets), \
             "more shards than minimizer buckets"
+        assert self.bloom.counter == "i32", \
+            "sharded spectra keep i32 counters (packed-halfword psum carries)"
 
     @property
     def shard_bits(self) -> int:
@@ -68,15 +70,19 @@ def _shard_of(canon_flat, sp: ShardedParams):
     return (bucket >> (b.log2_buckets - sp.shard_bits)).astype(jnp.int32)
 
 
-def _route(canon_flat, valid_flat, sp: ShardedParams):
+def _route(canon_flat, valid_flat, sp: ShardedParams, cap: int | None = None):
     """All-to-all route k-mers to bucket owners. Runs INSIDE shard_map.
 
     Returns (recv (S*C, W) kmer rows, recv_valid (S*C,), overflow scalar,
-    route_meta for answer-return paths).
+    route_meta for answer-return paths). Default capacity is the
+    route_safety fair share (overflow counted); cap=n is LOSSLESS — no
+    destination can overflow — which query paths require (a dropped probe
+    would silently read as weak).
     """
     S = sp.n_shards
     n, w = canon_flat.shape
-    cap = -(-n * sp.route_safety // S)           # ceil, per-destination slots
+    if cap is None:
+        cap = -(-n * sp.route_safety // S)       # ceil, per-destination slots
     dst = jnp.where(valid_flat, _shard_of(canon_flat, sp), S)
     order = jnp.argsort(dst, stable=True)
     dsts = dst[order]
@@ -246,13 +252,15 @@ def routed_query_fn(sp: ShardedParams, table_shard, k: int):
     """query_fn that all-to-all routes probes to their bucket-owner shard and
     routes the counts back (for spectra too large to replicate). Must run
     inside shard_map over the same mesh; table_shard is this device's
-    (width/S,) merged slice."""
+    (width/S,) merged slice. LOSSLESS routing (cap = n): a dropped probe
+    would silently read as count 0, so query paths never use the
+    fair-share capacity."""
 
     def qf(canon, valid):
         shape = canon.shape[:-1]
         flat = canon.reshape(-1, canon.shape[-1])
         fvalid = valid.reshape(-1)
-        recv, rvalid, _, meta = _route(flat, fvalid, sp)
+        recv, rvalid, _, meta = _route(flat, fvalid, sp, cap=flat.shape[0])
         counts = query(sp.bloom, table_shard, recv, rvalid,
                        local_bits=sp.local_bits)
         return _route_back(counts, meta).reshape(shape)

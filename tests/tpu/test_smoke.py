@@ -75,6 +75,43 @@ def test_pallas_insert_matches_xla(tpu):
     assert np.array_equal(np.asarray(tp), np.asarray(tx))
 
 
+def test_p16_insert_query_matches_i32_compiled(tpu):
+    """Compiled p16 packed-counter parity on the real chip: unpacked table
+    equals the i32 table, and Pallas solidity equals the XLA reference
+    (round-4: the VMEM-cliff rescue, VERDICT r3 tasks 2-3)."""
+    import dataclasses
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from kmerax.config import KmeraxConfig
+    from kmerax.core import canonical_words, extract_kmers
+    from kmerax.pipeline.run import _bloom_params
+    from kmerax.spectrum.bloom import insert, make_table, query, unpack16
+    from kmerax.spectrum.pallas_bloom import query_solid_pallas
+    from kmerax.bench.runners import _sim_batch
+
+    p16 = _bloom_params(
+        KmeraxConfig(k=31, bloom_log2_width=20, bloom_counter="p16"), 31)
+    i32 = dataclasses.replace(p16, counter="i32")
+    reads = jnp.asarray(_sim_batch(512, 150, seed=5, genome_len=1 << 14))
+
+    def build(p, t, b):
+        w, v = extract_kmers(b, 31)
+        c, _ = canonical_words(w, 31)
+        return insert(p, t, c, v)
+
+    t16 = jax.jit(functools.partial(build, p16))(make_table(p16), reads)
+    t32 = jax.jit(functools.partial(build, i32))(make_table(i32), reads)
+    assert np.array_equal(np.asarray(unpack16(t16)), np.asarray(t32))
+
+    w, v = extract_kmers(reads, 31)
+    c, _ = canonical_words(w, 31)
+    ref = np.asarray(jax.jit(lambda: (query(i32, t32, c, v) >= 3) & v)())
+    got = np.asarray(jax.jit(
+        lambda: query_solid_pallas(p16, t16, 3, c, v))())
+    assert np.array_equal(ref, got)
+
+
 def test_pallas_align_matches_xla(tpu):
     """The compiled Pallas banded aligner agrees bit-for-bit with the XLA
     max-plus path on the real chip (round-4 kernel, SURVEY.md §2 #14)."""
