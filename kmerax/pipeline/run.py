@@ -116,6 +116,61 @@ def _bloom_params(cfg: KmeraxConfig, k: int) -> BloomParams:
                        cfg.bucket_scheme, counter=counter)
 
 
+def make_correct_step(params, table, t, *, rounds, max_runs, max_edits):
+    """Jitted single-device correct step with the spectrum threaded as an
+    ARGUMENT: (step, spec) where step(spec, bases, lengths).
+
+    Closing the table into the jit (the round-1..3 pattern) embedded it as
+    an XLA literal: ~100 s compiles for the 64 MB default table, 50-230 MB
+    persistent-cache entries, and a cache MISS on every process because the
+    table bytes enter the cache key (measured round 4,
+    experiments/e2e_profile). With the table as an argument the program is
+    table-independent: seconds to compile once, cache hits forever after.
+
+    The spectrum path mirrors spectrum.bloom.make_solid_fn: Pallas
+    VMEM-resident query (+ fused eval when it applies) on TPU, else the
+    packed solidity bitmap.
+    """
+    from kmerax.ops.correct import correct_batch as _cb
+    from kmerax.ops.pallas_correct import eval_entries_fused, \
+        make_fused_eval
+    from kmerax.spectrum.bloom import query_solid, solidity_bitmap
+    from kmerax.spectrum.pallas_bloom import pallas_insert_ok, \
+        query_solid_pallas
+
+    k = params.k
+    kw = dict(rounds=rounds, max_runs=max_runs, max_edits=max_edits)
+    # bases may arrive as int8 (the H2D wire format — 4x fewer bytes over
+    # the host link) and corrected bases return int8 for the same reason;
+    # device compute stays int32
+    if pallas_insert_ok(params, table_entries=table.shape[0]):
+        fused = make_fused_eval(params, table, t) is not None
+
+        @jax.jit
+        def step(spec, bases, lengths):
+            sf = lambda cw, v: query_solid_pallas(params, spec, t, cw, v)
+            ef = None
+            if fused:
+                ef = lambda bs, ln, lj, er, ei: eval_entries_fused(
+                    params, spec, t, bs, ln, lj, er, ei)
+            fixed, ne = _cb(bases.astype(jnp.int32), lengths, k, t,
+                            solid_fn=sf, eval_fn=ef, **kw)
+            return fixed.astype(jnp.int8), ne
+
+        return step, table
+
+    bitmap = jax.jit(solidity_bitmap, static_argnums=0)(params, table, t)
+
+    @jax.jit
+    def step(spec, bases, lengths):
+        sf = lambda cw, v: query_solid(params, spec, cw, v)
+        fixed, ne = _cb(bases.astype(jnp.int32), lengths, k, t,
+                        solid_fn=sf, **kw)
+        return fixed.astype(jnp.int8), ne
+
+    return step, bitmap
+
+
 def _feed_global(arr, sharding):
     """Place a host batch array onto the mesh (SURVEY.md §3.4): plain
     device_put single-process; in multi-host runs each process supplies only
@@ -158,7 +213,8 @@ def _global_batches(cfg: KmeraxConfig, paths, reads_sh):
     if not _use_per_host_io(cfg, paths):
         for batch in BackgroundBatcher(paths, cfg.batch_reads,
                                        cfg.max_read_len):
-            yield _feed_global(batch.bases, reads_sh), batch.n
+            yield _feed_global(batch.bases.astype(np.int8),
+                               reads_sh), batch.n
         return
 
     from jax.experimental import multihost_utils as mh
@@ -170,7 +226,7 @@ def _global_batches(cfg: KmeraxConfig, paths, reads_sh):
              pid, len(lp), len(paths), [str(p) for p in lp])
     assert cfg.batch_reads % nproc == 0
     B_local = cfg.batch_reads // nproc
-    empty = np.full((B_local, cfg.max_read_len), 4, np.int32)
+    empty = np.full((B_local, cfg.max_read_len), 4, np.int8)
     it = iter(BackgroundBatcher(lp, B_local, cfg.max_read_len)) if lp \
         else iter(())
     while True:
@@ -180,7 +236,7 @@ def _global_batches(cfg: KmeraxConfig, paths, reads_sh):
              0 if batch is None else batch.n], dtype=np.int64)))
         if flags[:, 0].sum() == 0:
             break
-        rows = empty if batch is None else batch.bases
+        rows = empty if batch is None else batch.bases.astype(np.int8)
         bases = jax.make_array_from_process_local_data(
             reads_sh, rows,
             global_shape=(cfg.batch_reads, cfg.max_read_len))
@@ -207,14 +263,14 @@ def _count_steps(cfg: KmeraxConfig, k: int):
 
     @jax.jit
     def bloom_step(table, bases):
-        words, valid = extract_kmers(bases, k)
+        words, valid = extract_kmers(bases.astype(jnp.int32), k)
         canon, _ = canonical_words(words, k)
         table = insert(params, table, canon, valid)
         return table, jnp.sum(valid.astype(jnp.int32))
 
     @jax.jit
     def pend_append(pending, off, bases):
-        words, valid = extract_kmers(bases, k)
+        words, valid = extract_kmers(bases.astype(jnp.int32), k)
         canon, _ = canonical_words(words, k)
         flat = mask_invalid(canon, valid).reshape(-1, w)
         return jax.lax.dynamic_update_slice(pending, flat, (off, 0))
@@ -260,7 +316,8 @@ def run_count(cfg: KmeraxConfig, paths, k: Optional[int] = None,
     with maybe_trace("count"):
         for batch in BackgroundBatcher(paths, cfg.batch_reads,
                                        cfg.max_read_len):
-            bases = jnp.asarray(batch.bases)
+            # int8 wire format: 4x fewer H2D bytes (device casts to int32)
+            bases = jnp.asarray(batch.bases.astype(np.int8))
             table, nk = bloom_step(table, bases)
             if host_ex is not None:
                 pending = pend_append(pending, jnp.int32(off), bases)
@@ -509,9 +566,19 @@ def _correct_step_mesh(cfg: KmeraxConfig, state: CountState, mesh=None,
         rep = jax.jit(solidity_bitmap, static_argnums=0)(params, table, t)
         tspec = P(None)
 
-    sm = shard_map(local, mesh=mesh, in_specs=(tspec, rspec, rspec),
+    def local8(tbl, b, l):
+        # int8 at the H2D/D2H boundary (4x fewer host-link bytes), int32
+        # on device
+        fixed, ne = local(tbl, b.astype(jnp.int32), l)
+        return fixed.astype(jnp.int8), ne
+
+    sm = shard_map(local8, mesh=mesh, in_specs=(tspec, rspec, rspec),
                    out_specs=(rspec, rspec), check_vma=False)
-    step = jax.jit(lambda b, l: sm(rep, b, l))
+    # rep rides as an ARGUMENT: closing it over would embed the table /
+    # bitmap as an XLA constant (100s compiles + per-process cache misses,
+    # see make_correct_step)
+    sm_j = jax.jit(sm)
+    step = lambda b, l: sm_j(rep, b, l)
     rsh = NamedSharding(mesh, rspec)
     if local_only:
         return step, (lambda a: jax.device_put(jnp.asarray(a), rsh))
@@ -578,17 +645,32 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
         write_here = jax.process_index() == 0
         if cfg.mesh_data * cfg.mesh_bucket > 1 and not use_exact:
             step, put = _correct_step_mesh(cfg, state)
-        else:
-            sf = state.solid_fn(use_exact)
-            ef = state.eval_fn(use_exact)
+        elif use_exact:
+            if state.exact is None:
+                raise ValueError("exact spectrum not built")
+            uniq_d, counts_d, _ = state.exact
 
             @jax.jit
-            def step(bases, lengths):
-                return correct_batch(bases, lengths, k, t, solid_fn=sf,
-                                     rounds=cfg.rounds,
-                                     max_runs=cfg.max_runs,
-                                     max_edits=cfg.max_edits, eval_fn=ef)
+            def step_x(spec, bases, lengths):
+                u, c = spec
+                sf = lambda cw, v: (jnp.where(
+                    v, lookup_sorted(u, c, cw)[0], 0) >= t) & v
+                fixed, ne = correct_batch(bases.astype(jnp.int32), lengths,
+                                          k, t, solid_fn=sf,
+                                          rounds=cfg.rounds,
+                                          max_runs=cfg.max_runs,
+                                          max_edits=cfg.max_edits)
+                return fixed.astype(jnp.int8), ne
 
+            spec = (uniq_d, counts_d)
+            step = lambda b, l: step_x(spec, b, l)
+            put = jnp.asarray
+        else:
+            params = _bloom_params(cfg, k)
+            step0, spec = make_correct_step(
+                params, state.bloom_table, t, rounds=cfg.rounds,
+                max_runs=cfg.max_runs, max_edits=cfg.max_edits)
+            step = lambda b, l: step0(spec, b, l)
             put = jnp.asarray
 
     n_reads = n_edited = n_edits = 0
@@ -596,10 +678,11 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
     with maybe_trace("correct"):
         for gpaths, gout, _ in my_units:
             with FastqWriter(gout if write_here else None) as out:
-                for batch in BackgroundBatcher(gpaths, cfg.batch_reads,
-                                               cfg.max_read_len):
-                    fixed, ne = step(put(batch.bases), put(batch.lengths))
-                    if per_host:
+                def flush(pend):
+                    """Read back + write one completed batch."""
+                    nonlocal n_reads, n_edited, n_edits
+                    batch, fixed, ne = pend
+                    if per_host or jax.process_count() == 1:
                         fixed, ne = np.asarray(fixed), np.asarray(ne)
                     else:
                         fixed = _to_host_global(fixed)
@@ -607,10 +690,24 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
                     if write_here:
                         for i in range(batch.n):
                             rec = batch.records[i]
-                            out.write_record(rec, fixed[i, :batch.lengths[i]])
+                            out.write_record(rec,
+                                             fixed[i, :batch.lengths[i]])
                     n_reads += batch.n
                     n_edited += int((ne[:batch.n] > 0).sum())
                     n_edits += int(ne[:batch.n].sum())
+
+                # one-deep software pipeline: batch i's D2H + write overlap
+                # batch i+1's parse + H2D + compute (async dispatch)
+                pend = None
+                for batch in BackgroundBatcher(gpaths, cfg.batch_reads,
+                                               cfg.max_read_len):
+                    fixed, ne = step(put(batch.bases.astype(np.int8)),
+                                     put(batch.lengths))
+                    if pend is not None:
+                        flush(pend)
+                    pend = (batch, fixed, ne)
+                if pend is not None:
+                    flush(pend)
     if jax.process_count() > 1:
         # downstream stages (assemble re-count) read the corrected FASTQ
         # from the shared FS on every host — barrier until writes land
@@ -666,12 +763,18 @@ def run_align(cfg: KmeraxConfig, paths, contigs_fasta: str,
     cat_dev = jnp.asarray(cat.astype(np.int8)) if len(cat) \
         else jnp.zeros(1, jnp.int8)
     from kmerax.spectrum.exact import prefix_table
-    pref = prefix_table(uniq)
+    ptab, psteps = prefix_table(uniq)
 
+    # index arrays ride as ARGUMENTS (closing them over would embed them
+    # as XLA constants — see make_correct_step)
     @jax.jit
-    def step(bases, lengths):
-        return validate_batch(cat_dev, uniq, pay, bases, lengths, k, band,
-                              index_pref=pref)
+    def step_x(spec, bases, lengths):
+        cd, un, pa, pt = spec
+        return validate_batch(cd, un, pa, bases, lengths, k, band,
+                              index_pref=(pt, psteps))
+
+    spec = (cat_dev, uniq, pay, ptab)
+    step = lambda b, l: step_x(spec, b, l)
 
     if isinstance(paths, str):
         paths = [paths]

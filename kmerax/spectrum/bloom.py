@@ -62,7 +62,11 @@ class BloomParams:
 
 
 def make_table(params: BloomParams) -> jnp.ndarray:
-    return jnp.zeros(params.table_entries, dtype=jnp.int32)
+    # jit so the zeros materialize ON DEVICE: a plain jnp.zeros is staged
+    # host-side and pays a full-table H2D on first use — up to 2 minutes
+    # for a 64 MB table through the tunneled link (measured round 4)
+    return jax.jit(jnp.zeros, static_argnums=(0, 1))(
+        params.table_entries, jnp.int32)
 
 
 def pack16(table_i32: jnp.ndarray) -> jnp.ndarray:

@@ -20,7 +20,10 @@ SENTINEL_WORD = 0xFFFFFFFF
 
 
 def sentinel_rows(n: int, w: int) -> jnp.ndarray:
-    return jnp.full((n, w), SENTINEL_WORD, dtype=jnp.uint32)
+    # jit: materialize on device (a staged host constant pays a slow H2D
+    # on first use through the tunneled link — see bloom.make_table)
+    return jax.jit(
+        lambda: jnp.full((n, w), SENTINEL_WORD, dtype=jnp.uint32))()
 
 
 def mask_invalid(words: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

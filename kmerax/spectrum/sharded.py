@@ -167,7 +167,7 @@ def sharded_insert_step(sp: ShardedParams, mesh, k: int,
     w = (k + 15) // 16
 
     def inner(table_ds, bases_blk, off, *pending_blk):
-        words, valid = extract_kmers(bases_blk, k)
+        words, valid = extract_kmers(bases_blk.astype(jnp.int32), k)
         canon, _ = canonical_words(words, k)
         flat = canon.reshape(-1, w)
         fvalid = valid.reshape(-1)
