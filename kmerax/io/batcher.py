@@ -54,7 +54,7 @@ def batch_reads(paths, batch_size: int, max_len: int,
     available; behavior is identical (tested byte-for-byte) except that
     native FastqRecords carry an empty `seq` (bases are authoritative).
     """
-    if isinstance(paths, str):
+    if isinstance(paths, (str, tuple)):
         paths = [paths]
     if use_native is None:
         from kmerax.io.native import get_lib
@@ -65,7 +65,11 @@ def batch_reads(paths, batch_size: int, max_len: int,
     buf: list[FastqRecord] = []
     idx0 = 0
     for p in paths:
-        for rec in FastqReader(p):
+        rng = None
+        if isinstance(p, tuple):
+            p, s, e = p
+            rng = (s, e)
+        for rec in FastqReader(p, byte_range=rng):
             buf.append(rec)
             if len(buf) == batch_size:
                 yield _pack(buf, batch_size, max_len, idx0)
@@ -106,11 +110,21 @@ def _batch_reads_native(paths, batch_size: int, max_len: int):
             npend -= take
 
     for p in paths:
+        rng = None
+        if isinstance(p, tuple):
+            p, s, e = p
+            rng = e - s
         with _open_r(p) as f:
+            if rng is not None:
+                f.seek(s)
             tail = b""
             eof = False
             while not eof:
-                chunk = f.read(_NATIVE_CHUNK)
+                want = _NATIVE_CHUNK if rng is None \
+                    else min(_NATIVE_CHUNK, rng)
+                chunk = f.read(want) if want else b""
+                if rng is not None:
+                    rng -= len(chunk)
                 if not chunk:
                     eof = True
                     if not tail:

@@ -177,14 +177,21 @@ def sharded_insert_step(sp: ShardedParams, mesh, k: int,
         nk = jax.lax.psum(jnp.sum(fvalid.astype(jnp.int32)),
                           (AXIS_DATA, AXIS_BUCKET))
         ovf = jax.lax.psum(overflow, (AXIS_DATA, AXIS_BUCKET))
+        # overflow => the WHOLE batch is a no-op (table and pending keep
+        # their pre-batch state) so the driver can double route_safety and
+        # replay the batch without double counting (SURVEY.md §7
+        # hard-parts: recirculated overflow handling)
+        ok = ovf == 0
+        tbl = jnp.where(ok, tbl, table_ds[0, 0])
         outs = (tbl[None, None], nk, ovf)
         if pending_blk:
             pend = pending_blk[0]
             masked = jnp.where(rvalid[:, None], recv,
                                jnp.uint32(SENTINEL_WORD))
-            pend = jax.lax.dynamic_update_slice(
+            new_pend = jax.lax.dynamic_update_slice(
                 pend[0, 0], masked, (off, 0))
-            outs = outs + (pend[None, None],)
+            new_pend = jnp.where(ok, new_pend, pend[0, 0])
+            outs = outs + (new_pend[None, None],)
         return outs
 
     in_specs = [P(AXIS_DATA, AXIS_BUCKET, None), P((AXIS_DATA, AXIS_BUCKET)),

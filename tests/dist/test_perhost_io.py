@@ -59,9 +59,9 @@ def test_two_process_perhost_byte_identical(tmp_path):
     # two input files for count, and owns exactly one output file
     for pid, out in enumerate(outs):
         assert "count[per-host]" in out, out[-2000:]
-        assert f"parses 1/2 files" in out
+        assert "parses 1 shards of 2 files" in out
         assert "correct[per-host]" in out
-        assert "owns 1/2 files" in out
+        assert "owns 1/2 shards" in out
     # between them, both inputs were parsed
     joined = outs[0] + outs[1]
     assert "r1.fastq" in joined and "r2.fastq" in joined
