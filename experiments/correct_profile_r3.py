@@ -6,6 +6,7 @@ Components of correct_batch (rounds=2):
   C. per-round fused eval (prep kernel + query kernel) at each width
   D. apply/conflict suppression
 """
+import sys
 import time
 import numpy as np
 import jax
@@ -119,6 +120,9 @@ n_live = int(livef.sum())
 print(f"live candidates round 1: {n_live} / {livef.size}")
 
 idx = np.nonzero(livef)[0]
+if n_live == 0:
+    print("no live candidates — skipping the Q sweep")
+    sys.exit(0)
 for Q in (2048, 8192, 16384):
     sel = np.resize(idx, Q)
     ent_r = jnp.asarray((sel // 4).astype(np.int32))
@@ -133,7 +137,7 @@ for Q in (2048, 8192, 16384):
     timeit(f"C fused eval Q={Q}", ev, bases, ent_r, ent_i)
 
 # C': prep kernel only vs query kernel only at Q=8192
-from kmerax.ops.pallas_correct import _prep_pallas, LP, TR
+from kmerax.ops.pallas_correct import _prep_pallas, LP
 from kmerax.spectrum.pallas_bloom import _query_pallas_flat
 Q = 8192
 sel = np.resize(idx, Q)

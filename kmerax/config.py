@@ -35,6 +35,11 @@ class KmeraxConfig:
     # exact spectrum (DESIGN.md §6): needed for auto-threshold + assembly
     exact_spectrum: bool = True
     exact_capacity: int = 1 << 22     # max distinct k-mers held
+    # multi-host: keep the exact spectrum sharded by key range across
+    # processes (~1/P resident rows per host) instead of replicating it
+    # everywhere; histogram/threshold/assembly derive by reduction
+    # (spectrum/host_sharded.py). Requires k <= 31 (single-uint64 keys).
+    shard_host_spectrum: bool = False
 
     # solid threshold (DESIGN.md §7); None = auto from histogram valley
     threshold: Optional[int] = None

@@ -482,14 +482,21 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
     exact_state = None
     host = None
     if cfg.exact_spectrum:
-        uniq_np, counts_np = allgather_spectrum(host_rows, host_cnts)
-        host = HostSpectrum(uniq_np, counts_np, k)
-        n_unique = host.n_unique
-        if n_unique < cfg.exact_capacity:
-            exact_state = host.to_device(cfg.exact_capacity)
+        if cfg.shard_host_spectrum and jax.process_count() > 1:
+            from kmerax.spectrum.host_sharded import shard_spectrum
+
+            host = shard_spectrum(host_rows, host_cnts, k)
+            n_unique = host.n_unique
         else:
-            log.info("count[mesh]: %d distinct >= capacity %d — spectrum "
-                     "kept host-resident", n_unique, cfg.exact_capacity)
+            uniq_np, counts_np = allgather_spectrum(host_rows, host_cnts)
+            host = HostSpectrum(uniq_np, counts_np, k)
+            n_unique = host.n_unique
+            if n_unique < cfg.exact_capacity:
+                exact_state = host.to_device(cfg.exact_capacity)
+            else:
+                log.info("count[mesh]: %d distinct >= capacity %d — "
+                         "spectrum kept host-resident", n_unique,
+                         cfg.exact_capacity)
         hist = host.histogram(255)
         log.info("count[mesh %dx%d]: %d reads, %d k-mers, %d distinct",
                  D, S, n_reads, n_kmers, n_unique)

@@ -1,0 +1,162 @@
+"""Host-resident exact spectrum SHARDED BY KEY RANGE across processes
+(round-3 VERDICT Missing #5: allgather_spectrum replicated the ENTIRE
+global spectrum onto every host — tens of GB per host at config-5 scale).
+
+Each process keeps only the rows of one contiguous range of the global
+sort order (quantile-balanced boundaries, so ranges hold ~1/P of the rows
+each); the union of ranges in pid order IS the global sorted spectrum.
+Global quantities derive by reduction:
+
+  * histogram / threshold: sum of per-range histograms (disjoint rows);
+  * n_unique: sum of per-range counts;
+  * the assembly solid set: per-range solid rows concatenated in pid
+    order (already globally sorted) — the solid set is 20-60x smaller
+    than the distinct set at sequencing error rates, so gathering IT is
+    cheap while the distinct set never replicates.
+
+The exchange runs in bounded CHUNKS of the padded allgather, so the
+transient footprint is P * chunk rows — the full spectrum never
+materializes on any single host at any point.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+
+from kmerax.spectrum.exact import SENTINEL_WORD, np_merge_counted
+from kmerax.spectrum.host import HostSpectrum, pack_rows
+from kmerax.utils.logging import get_logger
+
+log = get_logger("kmerax.spectrum.host_sharded")
+
+EXCHANGE_CHUNK = 1 << 20          # rows per allgather chunk
+_SAMPLE = 1 << 12                 # per-process boundary sample size
+
+
+def _allgather(arr: np.ndarray) -> np.ndarray:
+    from jax.experimental import multihost_utils as mh
+
+    if arr.dtype in (np.uint64, np.int64):
+        # x64 is disabled: process_allgather silently truncates 64-bit
+        # values to 32 bits — split into halves and reassemble
+        a = arr.astype(np.uint64)
+        lo = np.asarray(mh.process_allgather(
+            (a & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+        hi = np.asarray(mh.process_allgather(
+            (a >> np.uint64(32)).astype(np.uint32)))
+        out = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+        return out.astype(arr.dtype)
+    return np.asarray(mh.process_allgather(arr))
+
+
+def _range_boundaries(keys: np.ndarray, n_procs: int) -> np.ndarray:
+    """Deterministic quantile boundaries over all processes' (packed,
+    uint64, W<=2) keys: (P-1,) split keys — owner p holds
+    [b_{p-1}, b_p). Sampling keeps the exchange O(sample) while canonical
+    k-mer bias (top bits skew toward A/C) is handled by construction."""
+    n = len(keys)
+    stride = max(1, n // _SAMPLE)
+    sample = keys[::stride][:_SAMPLE]
+    pad = np.full(_SAMPLE, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    pad[:len(sample)] = sample
+    counts = _allgather(np.asarray([len(sample)], np.int64))  # (P, 1)
+    allsamp = _allgather(pad)                                 # (P, _SAMPLE)
+    parts = [allsamp[p, :int(counts[p, 0])] for p in range(len(counts))]
+    merged = np.sort(np.concatenate(parts))
+    if len(merged) == 0:
+        return np.zeros(n_procs - 1, np.uint64)
+    qs = [merged[min(len(merged) - 1, (len(merged) * p) // n_procs)]
+          for p in range(1, n_procs)]
+    return np.asarray(qs, np.uint64)
+
+
+@dataclass
+class ShardedHostSpectrum:
+    """This process's key-range shard of the global exact spectrum."""
+
+    local: HostSpectrum            # rows in [bounds[pid-1], bounds[pid])
+    k: int
+    n_procs: int
+    pid: int
+    bounds: np.ndarray             # (P-1,) uint64 split keys
+
+    @property
+    def n_unique_local(self) -> int:
+        return self.local.n_unique
+
+    @property
+    def n_unique(self) -> int:
+        """GLOBAL distinct count (summed over ranges)."""
+        return int(_allgather(
+            np.asarray([self.local.n_unique], np.int64)).sum())
+
+    def histogram(self, max_count: int = 1024) -> np.ndarray:
+        """GLOBAL histogram: ranges are disjoint, so per-range histograms
+        sum exactly (SURVEY.md §3.1 psum-able merge)."""
+        h = self.local.histogram(max_count)
+        return _allgather(h).sum(axis=0)
+
+    def solid_global(self, t: int) -> np.ndarray:
+        """The GLOBAL solid set (C, W), gathered range-wise in pid order —
+        already globally sorted (ranges partition the sort order)."""
+        sidx = self.local.solid_indices(t)
+        mine = np.ascontiguousarray(self.local.uniq[sidx])
+        w = mine.shape[1] if mine.ndim == 2 else 1
+        counts = _allgather(np.asarray([len(mine)], np.int64))
+        maxn = max(1, int(counts.max()))
+        pad = np.full((maxn, w), SENTINEL_WORD, np.uint32)
+        pad[:len(mine)] = mine
+        allr = _allgather(pad)
+        parts = [allr[p, :int(counts[p, 0])] for p in range(len(counts))]
+        return np.concatenate(parts, axis=0)
+
+
+def shard_spectrum(rows: np.ndarray, counts: np.ndarray, k: int,
+                   chunk: int = EXCHANGE_CHUNK) -> ShardedHostSpectrum:
+    """Exchange per-process locally-merged spectra into key-range shards.
+
+    rows (N_p, W) uint32 sorted + counts (N_p,) int64 per process (bucket
+    routing makes row sets overlap across processes with PARTIAL counts —
+    the same k-mer counted on different data-parallel replicas), so rows
+    route to their range owner and merge by summation there; every k-mer
+    ends on exactly one host with its exact global count.
+    """
+    nproc, pid = jax.process_count(), jax.process_index()
+    if nproc == 1:
+        return ShardedHostSpectrum(HostSpectrum(rows, counts, k), k, 1, 0,
+                                   np.zeros(0, np.uint64))
+    w = rows.shape[1]
+    assert w <= 2, "range sharding packs keys to one uint64 (k <= 31)"
+    keys = pack_rows(rows) if len(rows) else np.zeros(0, np.uint64)
+    bounds = _range_boundaries(keys, nproc)
+    lo = np.uint64(0) if pid == 0 else bounds[pid - 1]
+    hi = np.uint64(0xFFFFFFFFFFFFFFFF) if pid == nproc - 1 else bounds[pid]
+
+    have = np.asarray([len(rows)], np.int64)
+    maxn = int(_allgather(have).max())
+    acc_r = [np.zeros((0, w), np.uint32)]
+    acc_c = [np.zeros(0, np.int64)]
+    for s in range(0, max(maxn, 1), chunk):
+        e = min(s + chunk, maxn)
+        pr = np.full((e - s, w), SENTINEL_WORD, np.uint32)
+        pc = np.zeros(e - s, np.int64)
+        if s < len(rows):
+            m = min(e, len(rows)) - s
+            pr[:m] = rows[s:s + m]
+            pc[:m] = counts[s:s + m]
+        allr = _allgather(pr).reshape(-1, w)       # (P*(e-s), W)
+        allc = _allgather(pc).reshape(-1)
+        kk = pack_rows(allr)
+        keep = (allc > 0) & (kk >= lo) & \
+            ((kk < hi) | (pid == nproc - 1))
+        acc_r.append(allr[keep])
+        acc_c.append(allc[keep])
+    uniq, cnts = np_merge_counted(np.concatenate(acc_r, axis=0),
+                                  np.concatenate(acc_c))
+    local = HostSpectrum(uniq, cnts, k)
+    log.info("host-spectrum shard %d/%d: %d rows resident",
+             pid, nproc, local.n_unique)
+    return ShardedHostSpectrum(local, k, nproc, pid, bounds)

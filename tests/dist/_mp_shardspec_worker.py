@@ -1,0 +1,57 @@
+"""Worker: key-range-sharded host spectrum through the production pipeline
+(round-3 VERDICT Missing #5). 2 processes x 4 fake CPU devices; count with
+shard_host_spectrum=True, assert ~1/2 resident rows per process, then
+assemble to FASTA (gathered solid set, split edge discovery, host
+pointer-doubling) — process 0's FASTA must match the single-process run."""
+
+import os
+import sys
+
+
+def main():
+    coordinator, nprocs, pid, outdir, fq = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+        sys.argv[5])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["KMERAX_PROCESS_INDEX"] = str(pid)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator, nprocs, pid)
+    assert jax.device_count() == 8
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+    from kmerax.config import KmeraxConfig
+    from kmerax.graph.unitig import assemble_to_fasta
+    from kmerax.pipeline.run import run_count
+    from kmerax.spectrum.host_sharded import ShardedHostSpectrum
+
+    cfg = KmeraxConfig(k=31, bloom_log2_width=16, batch_reads=512,
+                       max_read_len=100, exact_capacity=1 << 16,
+                       mesh_data=2, mesh_bucket=4,
+                       shard_host_spectrum=True)
+    state = run_count(cfg, [fq])
+    host = state.host
+    assert isinstance(host, ShardedHostSpectrum), type(host)
+    n_local = host.n_unique_local
+    n_global = host.n_unique
+    frac = n_local / max(n_global, 1)
+    print(f"worker {pid} resident {n_local}/{n_global} = {frac:.3f}")
+    assert 0.3 <= frac <= 0.7, \
+        f"range shard not balanced: {n_local}/{n_global}"
+
+    # partitioned assembly from the sharded spectrum: small partitions so
+    # edge discovery actually splits across the 2 processes
+    from kmerax.graph.partitioned import assemble_host
+    seqs = assemble_host(None, state.threshold, cfg.k,
+                         partition_rows=256,
+                         suniq=host.solid_global(state.threshold))
+    if pid == 0:
+        from kmerax.io.fasta import write_fasta
+        write_fasta(os.path.join(outdir, "contigs.fasta"), seqs)
+    print(f"worker {pid} OK threshold={state.threshold} "
+          f"unitigs={len(seqs)}")
+
+
+if __name__ == "__main__":
+    main()
