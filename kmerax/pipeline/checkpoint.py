@@ -19,6 +19,8 @@ def save_spectrum(dirpath: str, cfg, *, bloom_table=None, exact=None,
                   status: str = "complete", extra: dict | None = None):
     os.makedirs(dirpath, exist_ok=True)
     arrays = {}
+    extra = dict(extra or {})
+    npz_name = "spectrum.npz"
     if bloom_table is not None:
         arrays["bloom_table"] = np.asarray(bloom_table)
     if exact is not None:
@@ -27,29 +29,56 @@ def save_spectrum(dirpath: str, cfg, *, bloom_table=None, exact=None,
         arrays["exact_counts"] = np.asarray(counts)
         arrays["exact_n"] = np.asarray(n)
     elif host is not None:
-        # host-resident spectrum (past device capacity): save unpadded;
-        # exact_* stays the compact form when both exist
-        arrays["host_uniq"] = host.uniq
-        arrays["host_counts"] = host.counts
+        from kmerax.spectrum.host_sharded import ShardedHostSpectrum
+
+        if isinstance(host, ShardedHostSpectrum):
+            # range-sharded spectrum: each process saves ONLY its shard
+            # (that is the point — nothing global exists anywhere); the
+            # manifest records the shard geometry for resume
+            arrays["host_uniq"] = host.local.uniq
+            arrays["host_counts"] = host.local.counts
+            extra["host_shard"] = [host.pid, host.n_procs]
+            npz_name = f"spectrum.p{host.pid}.npz"
+        else:
+            # host-resident spectrum (past device capacity): save
+            # unpadded; exact_* stays the compact form when both exist
+            arrays["host_uniq"] = host.uniq
+            arrays["host_counts"] = host.counts
     if hist is not None:
         arrays["hist"] = np.asarray(hist)
-    np.savez(os.path.join(dirpath, "spectrum.npz"), **arrays)
+    np.savez(os.path.join(dirpath, npz_name), **arrays)
     manifest = {
         "stage": stage, "status": status, "threshold": threshold,
-        "config": json.loads(cfg.to_json()), **(extra or {}),
+        "config": json.loads(cfg.to_json()), "npz": npz_name, **extra,
     }
-    tmp = os.path.join(dirpath, "manifest.json.tmp")
+    # per-process manifests for sharded saves, single otherwise
+    mname = "manifest.json" if "host_shard" not in extra \
+        else f"manifest.p{extra['host_shard'][0]}.json"
+    tmp = os.path.join(dirpath, mname + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2)
-    os.replace(tmp, os.path.join(dirpath, "manifest.json"))
+    os.replace(tmp, os.path.join(dirpath, mname))
+    if "host_shard" in extra and extra["host_shard"][0] == 0:
+        # rank 0 also writes the canonical manifest for _is_done checks
+        with open(os.path.join(dirpath, "manifest.json.tmp"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(os.path.join(dirpath, "manifest.json.tmp"),
+                   os.path.join(dirpath, "manifest.json"))
 
 
-def load_spectrum(dirpath: str):
-    """Returns (manifest dict, arrays dict) or (None, None) if absent."""
+def load_spectrum(dirpath: str, pid: int | None = None):
+    """Returns (manifest dict, arrays dict) or (None, None) if absent.
+
+    Sharded-host saves (manifest key "host_shard") store one npz per
+    process; pass this process's `pid` to load its shard."""
     mpath = os.path.join(dirpath, "manifest.json")
+    if pid is not None and os.path.exists(
+            os.path.join(dirpath, f"manifest.p{pid}.json")):
+        mpath = os.path.join(dirpath, f"manifest.p{pid}.json")
     if not os.path.exists(mpath):
         return None, None
     with open(mpath) as f:
         manifest = json.load(f)
-    arrays = dict(np.load(os.path.join(dirpath, "spectrum.npz")))
+    arrays = dict(np.load(
+        os.path.join(dirpath, manifest.get("npz", "spectrum.npz"))))
     return manifest, arrays

@@ -45,7 +45,10 @@ def _count_stage(cfg: KmeraxConfig, paths, workdir, stage: str,
 
     spec_dir = workdir and os.path.join(workdir, stage)
     if _is_done(workdir, stage):
-        manifest, arrays = load_spectrum(spec_dir)
+        import jax
+
+        manifest, arrays = load_spectrum(spec_dir,
+                                         pid=jax.process_index())
         if manifest is not None:
             log.info("%s: resumed from checkpoint", stage)
             from kmerax.spectrum.host import HostSpectrum
@@ -61,7 +64,20 @@ def _count_stage(cfg: KmeraxConfig, paths, workdir, stage: str,
                     arrays["exact_counts"][:n].astype(np.int64), cfg.k)
             elif "host_uniq" in arrays:
                 host = HostSpectrum(arrays["host_uniq"],
-                                    arrays["host_counts"], cfg.k)
+                                    arrays["host_counts"].astype(np.int64),
+                                    cfg.k)
+                if "host_shard" in manifest:
+                    from kmerax.spectrum.host_sharded import \
+                        ShardedHostSpectrum
+
+                    pid, nprocs = manifest["host_shard"]
+                    host = ShardedHostSpectrum(
+                        host, cfg.k, nprocs, pid, np.zeros(0, np.uint64))
+            if "bloom_table" not in arrays:
+                raise RuntimeError(
+                    f"{stage}: checkpoint has no replicated bloom table "
+                    "(counted past the replicate budget) — resume by "
+                    "re-counting (delete the stage marker)")
             return CountState(
                 cfg, jnp.asarray(arrays["bloom_table"]), exact,
                 arrays.get("hist"), manifest["threshold"],

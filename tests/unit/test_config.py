@@ -48,3 +48,29 @@ def test_cli_config_file(tmp_path):
     with pytest.raises(FileNotFoundError):
         main(["count", "--config", str(p), "--in", "/nonexistent.fastq",
               "--out", str(tmp_path / "o"), "--threshold", "3", "--no-exact"])
+
+
+def test_checkpoint_sharded_host_roundtrip(tmp_path):
+    """save_spectrum/load_spectrum round-trip the per-process shard of a
+    range-sharded host spectrum (config-5 resume support)."""
+    import numpy as np
+    from kmerax.config import KmeraxConfig
+    from kmerax.pipeline.checkpoint import load_spectrum, save_spectrum
+    from kmerax.spectrum.host import HostSpectrum
+    from kmerax.spectrum.host_sharded import ShardedHostSpectrum
+
+    rows = np.sort(np.arange(10, dtype=np.uint64) * 977)
+    uniq = np.stack([rows.astype(np.uint32),
+                     (rows >> np.uint64(32)).astype(np.uint32)], axis=1)
+    counts = np.arange(1, 11, dtype=np.int64)
+    host = ShardedHostSpectrum(HostSpectrum(uniq, counts, 31), 31,
+                               n_procs=2, pid=0, bounds=np.zeros(0,
+                                                                 np.uint64))
+    cfg = KmeraxConfig(k=31)
+    save_spectrum(str(tmp_path), cfg, bloom_table=np.zeros(256, np.int32),
+                  threshold=2, host=host)
+    manifest, arrays = load_spectrum(str(tmp_path), pid=0)
+    assert manifest["host_shard"] == [0, 2]
+    assert np.array_equal(arrays["host_uniq"], uniq)
+    assert np.array_equal(arrays["host_counts"], counts)
+    assert "bloom_table" in arrays
