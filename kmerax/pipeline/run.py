@@ -22,7 +22,7 @@ from kmerax.io.batcher import BackgroundBatcher
 from kmerax.io.fastq import FastqWriter
 from kmerax.ops.correct import correct_batch
 from kmerax.spectrum import (
-    BloomParams, SENTINEL_WORD, insert, lookup_sorted, make_table, query,
+    BloomParams, SENTINEL_WORD, insert, lookup_sorted, make_table,
 )
 from kmerax.spectrum.exact import mask_invalid, sentinel_rows
 from kmerax.spectrum.histogram import count_histogram, solid_threshold
@@ -50,44 +50,10 @@ class CountState:
                                     # the routed-correction spectrum for
                                     # tables too large to replicate/fuse
 
-    def query_fn(self, use_exact: bool = False):
-        """Spectrum query closure for ops.correct_batch."""
-        if use_exact:
-            if self.exact is None:
-                raise ValueError("exact spectrum not built")
-            uniq, counts, _ = self.exact
-            return lambda cw, v: jnp.where(
-                v, lookup_sorted(uniq, counts, cw)[0], 0)
-        # sharded counts merge to the same GLOBAL table (DESIGN.md §13),
-        # so the plain query works for both paths.
-        params = _bloom_params(self.cfg, self.cfg.k)
-        table = self.bloom_table
-        return lambda cw, v: query(params, table, cw, v)
-
-    def solid_fn(self, use_exact: bool = False):
-        """Solidity predicate for ops.correct_batch (bit-identical to
-        `query_fn(...) >= threshold`). The bloom path uses the best
-        backend-specific probe (spectrum.bloom.make_solid_fn): the Pallas
-        VMEM-resident query kernel on TPU, else the packed solidity
-        bitmap."""
-        if use_exact:
-            qf = self.query_fn(use_exact=True)
-            t = self.threshold
-            return lambda cw, v: (qf(cw, v) >= t) & v
-        params = _bloom_params(self.cfg, self.cfg.k)
-        from kmerax.spectrum.bloom import make_solid_fn
-        return make_solid_fn(params, self.bloom_table, self.threshold)
-
-    def eval_fn(self, use_exact: bool = False):
-        """Fused Pallas candidate evaluator for ops.correct_batch (the
-        "Pallas vectorized spectrum lookup+edit" of BASELINE.json:5), or
-        None when the fused path does not apply (exact-spectrum correction,
-        minimizer bucket scheme, non-TPU backend, table beyond VMEM)."""
-        if use_exact:
-            return None
-        params = _bloom_params(self.cfg, self.cfg.k)
-        from kmerax.ops.pallas_correct import make_fused_eval
-        return make_fused_eval(params, self.bloom_table, self.threshold)
+    # NOTE: correction consumers use make_correct_step (spectrum threaded
+    # as a jit ARGUMENT) — closure-style query/solid/eval accessors were
+    # removed in round 4 because closing the table into a jit embeds it as
+    # an XLA literal (100s compiles + per-process cache misses).
 
 
 # replicated merged-table ceiling: past this the mesh count keeps the
