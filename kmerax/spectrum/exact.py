@@ -137,18 +137,19 @@ def searchsorted_words(uniq_words: jnp.ndarray, query_words: jnp.ndarray):
     return idx, found
 
 
-PREFIX_BITS = 16
+PREFIX_BITS = 20
 
 
 def prefix_table(uniq_words: np.ndarray):
     """Host-built first-level bucket index for searchsorted_words_pref.
 
-    Buckets rows of a sorted (M, W) spectrum by the high PREFIX_BITS of the
-    most-significant word. Returns (ptable (2^PB + 1,) int32 device array,
-    steps) where ptable[key] is the first row whose key >= key and `steps`
-    is the static in-bucket binary-search depth (log2 of the largest
-    bucket) — cuts the search from log2(M) to a couple of gather steps.
-    Sentinel rows key to the last bucket and stay inert.
+    Buckets rows of a sorted (M, W) spectrum by the high PREFIX_BITS of
+    the most-significant word (2^20 buckets = 4 MB table). Returns
+    (ptable (2^PB + 1,) int32 device array, steps) where ptable[key] is
+    the first row whose key >= key and `steps` is the static in-bucket
+    binary-search depth (log2 of the largest bucket) — cuts the search
+    from log2(M) to a couple of gather steps. Sentinel rows key to the
+    last bucket and stay inert.
     """
     rows = np.asarray(uniq_words)
     key = (rows[:, -1].astype(np.uint32) >> (32 - PREFIX_BITS)).astype(
