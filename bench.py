@@ -20,12 +20,15 @@ def main():
     from kmerax.utils.compile_cache import enable
     enable()
     from kmerax.config import KmeraxConfig
-    from kmerax.bench.runners import bench_align, bench_correct, bench_count
+    from kmerax.bench.runners import (
+        bench_align, bench_correct, bench_count, bench_e2e,
+    )
 
     cfg = KmeraxConfig(k=31, bloom_log2_width=24)
     r = bench_count(cfg, n_reads=16384)
     c = bench_correct(cfg, n_reads=4096)
     a = bench_align(cfg, n_reads=16384)
+    e = bench_e2e(cfg, n_reads=65536)
     print(json.dumps({"metric": r["metric"], "value": r["value"],
                       "unit": r["unit"], "vs_baseline": r["vs_baseline"],
                       "correct_metric": c["metric"],
@@ -35,7 +38,11 @@ def main():
                       "align_metric": a["metric"],
                       "align_value": a["value"],
                       "align_unit": a["unit"],
-                      "align_vs_baseline": a["vs_baseline"]}))
+                      "align_vs_baseline": a["vs_baseline"],
+                      "e2e_metric": e["metric"],
+                      "e2e_value": e["value"],
+                      "e2e_unit": e["unit"],
+                      "e2e_note": e["note"]}))
 
 
 if __name__ == "__main__":

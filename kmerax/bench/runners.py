@@ -76,7 +76,7 @@ def _time_fresh_pass(fn, state, batches):
     for b in fresh:
         state = fn(state, b)
     _sync(state)
-    return (time.perf_counter() - t0) / len(fresh)
+    return (time.perf_counter() - t0) / len(fresh), state
 
 
 def bench_count(cfg: KmeraxConfig, n_reads: int = 16384,
@@ -93,7 +93,7 @@ def bench_count(cfg: KmeraxConfig, n_reads: int = 16384,
         canon, _ = canonical_words(words, k)
         return insert(params, table, canon, valid)
 
-    dt = _time_fresh_pass(step, make_table(params), batches)
+    dt, _ = _time_fresh_pass(step, make_table(params), batches)
     kmers = n_reads * (read_len - k + 1)
     rate = kmers / dt
     return {"metric": f"kmers_per_s_per_chip_k{k}", "value": round(rate, 1),
@@ -140,7 +140,7 @@ def bench_correct(cfg: KmeraxConfig, n_reads: int = 8192,
         fixed, ne = step0(spec, bases, lengths)
         return state + jnp.sum(ne)
 
-    dt = _time_fresh_pass(step, jnp.zeros((), jnp.int32), batches)
+    dt, _ = _time_fresh_pass(step, jnp.zeros((), jnp.int32), batches)
     rate = n_reads / dt
     return {"metric": f"reads_per_s_per_chip_k{k}", "value": round(rate, 1),
             "unit": "reads/s/chip", "batch_wall_s": round(dt, 5),
@@ -149,34 +149,48 @@ def bench_correct(cfg: KmeraxConfig, n_reads: int = 8192,
 
 def bench_align(cfg: KmeraxConfig, n_reads: int = 16384,
                 read_len: int = 150) -> dict:
-    """reads/s/chip for the align-validate stage (seed-extend + Pallas
-    banded DP, SURVEY.md §2 #14): validate_batch of simulated reads against
-    the contig index of their source genome."""
-    from kmerax.ops.align import build_contig_index, validate_batch
-
-    from kmerax.spectrum.exact import prefix_table
+    """reads/s/chip for the align-validate stage (cuckoo-hash seed search
+    with two-phase early-exit + Pallas banded DP, SURVEY.md §2 #14):
+    validate_batch_phased of simulated reads against the contig index of
+    their source genome. The per-batch overflow flags are checked once at
+    the end (sim data never overflows; a failure would mean the driver
+    replay path must engage, which bench treats as an error)."""
+    from kmerax.ops.align import build_contig_index, validate_batch_phased
+    from kmerax.ops.seed_hash import build_seed_hash
 
     k, band = cfg.k, cfg.band
     rng = np.random.default_rng(0)
     genome = rng.integers(0, 4, 1 << 17).astype(np.uint8)
     cat, uniq, pay = build_contig_index([genome], k)
     cat_dev = jnp.asarray(cat.astype(np.int8))
-    ptab, psteps = prefix_table(uniq)
-    batches = [jnp.asarray(_sim_batch(n_reads, read_len, seed=s))
-               for s in range(N_FRESH + 1)]
+    sh = build_seed_hash(uniq, pay)
+    # reads must come from the INDEXED genome (round-5 fix: _sim_batch with
+    # per-batch seeds drew each batch from a different genome, so the old
+    # bench measured an all-miss seed search — not the validate workload)
+    batches = []
+    for s in range(N_FRESH + 1):
+        r2 = np.random.default_rng(1000 + s)
+        starts = r2.integers(0, len(genome) - read_len, n_reads)
+        reads = genome[starts[:, None] + np.arange(read_len)[None, :]]
+        errs = r2.random(reads.shape) < 0.01
+        shift = r2.integers(1, 4, reads.shape).astype(np.uint8)
+        reads = np.where(errs, (reads + shift) % 4, reads)
+        batches.append(jnp.asarray(reads.astype(np.int32)))
     lengths = jnp.full(n_reads, read_len, dtype=jnp.int32)
 
     @jax.jit
-    def step_x(spec, state, bases):
-        cd, un, pa, pt = spec
-        found, strand, pos, score = validate_batch(
-            cd, un, pa, bases, lengths, k, band, index_pref=(pt, psteps))
-        return state + jnp.sum(found.astype(jnp.int32))
+    def step_x(tab, state, bases):
+        found, strand, pos, score, ok = validate_batch_phased(
+            cat_dev, (tab, sh.n_slots, sh.attempt), bases, lengths, k, band)
+        return (state[0] + jnp.sum(found.astype(jnp.int32)),
+                state[1] & ok)
 
-    spec = (cat_dev, uniq, pay, ptab)
-    step = lambda st, b: step_x(spec, st, b)
+    step = lambda st, b: step_x(sh.tab, st, b)
 
-    dt = _time_fresh_pass(step, jnp.zeros((), jnp.int32), batches)
+    state0 = (jnp.zeros((), jnp.int32), jnp.asarray(True))
+    dt, state = _time_fresh_pass(step, state0, batches)
+    assert bool(state[1]), \
+        "phased seed search overflowed on bench data (replay path engaged)"
     rate = n_reads / dt
     return {"metric": f"align_reads_per_s_per_chip_k{k}",
             "value": round(rate, 1), "unit": "reads/s/chip",

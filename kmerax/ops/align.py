@@ -148,22 +148,11 @@ def build_contig_index(contig_bases: list, k: int, chunk: int = 1 << 20):
         jnp.asarray(pay[first].astype(np.int32))
 
 
-def validate_batch(cat_dev, index_uniq, index_pay, bases, lengths,
-                   k: int, band: int, index_pref=None):
-    """Batched seed-extend read validation (DESIGN.md §10b), bit-exact vs
-    oracle.validate_read. Returns (found (B,), strand (B,), pos (B,),
-    score (B,) — NEG_INF when unaligned). `index_pref` = optional
-    (ptable, steps) from spectrum.exact.prefix_table for the fast seed
-    search (same results)."""
-    from kmerax.core.codec import canonical_words
-    from kmerax.core.kmers import extract_kmers
-
+def _extend_and_score(cat_dev, bases, lengths, is_fwd, off, payload, found,
+                      k: int, band: int):
+    """Seed -> oriented window -> banded DP; the shared tail of the
+    validate_batch variants. Returns (found, strand, pos, score)."""
     B, Lmax = bases.shape
-    bases = bases.astype(jnp.int32)
-    words, valid = extract_kmers(bases, k)
-    canon, is_fwd = canonical_words(words, k)
-    off, payload, found = seed_positions(canon, valid, index_uniq, index_pay,
-                                         pref=index_pref)
     rfwd = jnp.take_along_axis(is_fwd, off[:, None], axis=1)[:, 0]
     cfwd = (payload & 1) == 1
     pos = payload >> 1
@@ -189,8 +178,55 @@ def validate_batch(cat_dev, index_uniq, index_pay, bases, lengths,
         jnp.where(found, pos, -1), score
 
 
+def validate_batch(cat_dev, index_uniq, index_pay, bases, lengths,
+                   k: int, band: int, index_pref=None, index_hash=None):
+    """Batched seed-extend read validation (DESIGN.md §10b), bit-exact vs
+    oracle.validate_read. Returns (found (B,), strand (B,), pos (B,),
+    score (B,) — NEG_INF when unaligned). `index_pref` = optional
+    (ptable, steps) from spectrum.exact.prefix_table for the fast seed
+    search; `index_hash` = optional (tab, n_slots, attempt) cuckoo index
+    from ops.seed_hash.build_seed_hash (two gathers per probe, full
+    position width). All three paths return identical results; the
+    streaming stages use validate_batch_phased (faster still)."""
+    from kmerax.core.codec import canonical_words
+    from kmerax.core.kmers import extract_kmers
+
+    bases = bases.astype(jnp.int32)
+    words, valid = extract_kmers(bases, k)
+    canon, is_fwd = canonical_words(words, k)
+    off, payload, found = seed_positions(canon, valid, index_uniq, index_pay,
+                                         pref=index_pref, shash=index_hash)
+    return _extend_and_score(cat_dev, bases, lengths, is_fwd, off, payload,
+                             found, k, band)
+
+
+def validate_batch_phased(cat_dev, index_hash, bases, lengths,
+                          k: int, band: int):
+    """validate_batch through the two-phase early-exit seed search
+    (ops.seed_hash.probe_first_hit — the fast streaming path).
+
+    Returns (found, strand, pos, score, ok). `ok` False (adversarial
+    input: >B/4 reads unresolved in the seed prefix) means the batch must
+    be REPLAYED through validate_batch(..., index_hash=...) — the driver
+    replay idiom; see run_align. With ok True, results are bit-identical
+    to validate_batch."""
+    from kmerax.core.codec import canonical_words
+    from kmerax.core.kmers import extract_kmers
+    from kmerax.ops.seed_hash import probe_first_hit
+
+    tab, n_slots, attempt = index_hash
+    bases = bases.astype(jnp.int32)
+    words, valid = extract_kmers(bases, k)
+    canon, is_fwd = canonical_words(words, k)
+    off, payload, found, ok = probe_first_hit(tab, n_slots, attempt,
+                                              canon, valid)
+    out = _extend_and_score(cat_dev, bases, lengths, is_fwd, off, payload,
+                            found, k, band)
+    return (*out, ok)
+
+
 def seed_positions(read_canon, read_valid, index_uniq, index_pos,
-                   window: int = 8, pref=None):
+                   window: int = 8, pref=None, shash=None):
     """First-seed lookup: for each read, the first valid k-mer with an exact
     hit in the target k-mer index (SURVEY.md §3.3 "seed-extend").
 
@@ -200,14 +236,25 @@ def seed_positions(read_canon, read_valid, index_uniq, index_pos,
     Returns (read_offset (B,), payload (B,), found (B,)).
 
     The binary search dominated the align stage (~90% of wall,
-    experiments/align_profile r4); `pref` = optional (ptable, steps) from
-    spectrum.exact.prefix_table gives each search a first-level bucket
-    head start that cuts it from log2(M) to a couple of gather steps —
-    identical results. (A windowed early-exit lax.while_loop was measured
-    and rejected: loop machinery cost more than the saved probes, and one
-    unalignable read forces every round anyway.)
+    experiments/align_profile r4/r5). Two accelerations, both returning
+    identical results:
+      * `pref` = (ptable, steps) from spectrum.exact.prefix_table — a
+        first-level bucket head start (log2(M) -> a few gather steps);
+      * `shash` = (tab, n_slots, attempt) from ops.seed_hash — a cuckoo
+        table making every probe exactly TWO independent row gathers
+        (round-5; ~4x the pref path). When given, index_uniq/index_pos
+        are unused.
+    (A windowed early-exit lax.while_loop was measured and rejected: loop
+    machinery cost more than the saved probes, and one unalignable read
+    forces every round anyway.)
     """
     del window
+    if shash is not None:
+        from kmerax.ops.seed_hash import probe_first_hit_full
+
+        tab, n_slots, attempt = shash
+        return probe_first_hit_full(tab, n_slots, attempt, read_canon,
+                                    read_valid)
     from kmerax.spectrum.exact import searchsorted_words, \
         searchsorted_words_pref
 

@@ -775,19 +775,42 @@ def run_align(cfg: KmeraxConfig, paths, contigs_fasta: str,
     cat, uniq, pay = build_contig_index(contigs, k)
     cat_dev = jnp.asarray(cat.astype(np.int8)) if len(cat) \
         else jnp.zeros(1, jnp.int8)
-    from kmerax.spectrum.exact import prefix_table
-    ptab, psteps = prefix_table(uniq)
+    from kmerax.ops.align import validate_batch_phased
+    from kmerax.ops.seed_hash import build_seed_hash
+    sh = build_seed_hash(uniq, pay)
 
     # index arrays ride as ARGUMENTS (closing them over would embed them
     # as XLA constants — see make_correct_step)
     @jax.jit
     def step_x(spec, bases, lengths):
-        cd, un, pa, pt = spec
-        return validate_batch(cd, un, pa, bases, lengths, k, band,
-                              index_pref=(pt, psteps))
+        cd, tab = spec
+        return validate_batch_phased(cd, (tab, sh.n_slots, sh.attempt),
+                                     bases, lengths, k, band)
 
-    spec = (cat_dev, uniq, pay, ptab)
-    step = lambda b, l: step_x(spec, b, l)
+    # index_uniq/index_pay are unused on the hash path — tiny placeholders
+    # keep them out of the compiled program
+    _dummy_u = jnp.zeros((1, (k + 15) // 16), jnp.uint32)
+    _dummy_p = jnp.zeros(1, jnp.int32)
+
+    @jax.jit
+    def step_full_x(spec, bases, lengths):
+        cd, tab = spec
+        return validate_batch(cd, _dummy_u, _dummy_p, bases, lengths, k,
+                              band, index_hash=(tab, sh.n_slots, sh.attempt))
+
+    spec = (cat_dev, sh.tab)
+
+    def step(b, l):
+        """Phased seed search; the rare overflow batch (>B/4 reads with no
+        seed in the prefix window) replays through the exact full-width
+        step — same driver-replay idiom as the count stage's route
+        overflow."""
+        found, strand, pos, score, ok = step_x(spec, b, l)
+        if not bool(ok):
+            log.info("align: phased seed search overflowed — replaying "
+                     "batch through the full-width probe")
+            return step_full_x(spec, b, l)
+        return found, strand, pos, score
 
     if isinstance(paths, str):
         paths = [paths]

@@ -177,12 +177,17 @@ def test_fused_correct_matches_xla_compiled(tpu):
     assert np.array_equal(np.asarray(ref[1]), np.asarray(got[1]))
 
 
-# floors = 0.8x of the last recorded bench (BENCH_r04 methodology: chained
-# fresh-batch passes; count 128.2M k-mers/s, correct 414.4k reads/s,
-# align 183.1k reads/s on the v5e chip) so real regressions trip them
-COUNT_FLOOR = 0.8 * 128.2e6
-CORRECT_FLOOR = 0.8 * 414.4e3
-ALIGN_FLOOR = 0.8 * 131e3
+# floors = 0.8x of the last recorded bench (chained fresh-batch passes on
+# the v5e chip): count 126.3M k-mers/s + correct 433.1k reads/s
+# (BENCH_r04), align 929.1k reads/s (round-5 cuckoo+phased seed search —
+# bench_align also now samples reads FROM the indexed genome; the r4
+# 314.9k was an all-miss seed workload, so the two are not comparable).
+# E2E floor is 0.5x of E2E_r4's 5.9k reads/s (tunnel-link-bound here;
+# generous so only the compile-regression class trips it).
+COUNT_FLOOR = 0.8 * 126.3e6
+CORRECT_FLOOR = 0.8 * 433.1e3
+ALIGN_FLOOR = 0.8 * 929.1e3
+E2E_FLOOR = 0.5 * 5.9e3
 
 
 def test_count_perf_floor(tpu):
@@ -205,9 +210,20 @@ def test_correct_perf_floor(tpu):
 
 
 def test_align_perf_floor(tpu):
-    """Align-validate (Pallas banded DP + prefix seed search) floor."""
+    """Align-validate (Pallas banded DP + cuckoo phased seed search)."""
     from kmerax.config import KmeraxConfig
     from kmerax.bench.runners import bench_align
 
     r = bench_align(KmeraxConfig(k=31), n_reads=16384)
     assert r["value"] > ALIGN_FLOOR, f"align throughput regressed: {r}"
+
+
+def test_e2e_perf_floor(tpu):
+    """End-to-end count+correct from FASTQ: catches the 100s-compile class
+    of regression (closure-constant tables) that compute-only metrics miss
+    (round-4 e2e profiling; VERDICT r4 Weak #5)."""
+    from kmerax.config import KmeraxConfig
+    from kmerax.bench.runners import bench_e2e
+
+    r = bench_e2e(KmeraxConfig(k=31, bloom_log2_width=24), n_reads=16384)
+    assert r["value"] > E2E_FLOOR, f"e2e throughput regressed: {r}"
