@@ -28,8 +28,12 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--no-exact", action="store_true",
                    help="skip the exact spectrum (needs --threshold)")
     p.add_argument("--shard-host-spectrum", action="store_true",
-                   help="keep the exact spectrum key-range-sharded across "
-                        "hosts (~1/P resident rows each; k <= 31)")
+                   help="force the key-range-sharded exact spectrum "
+                        "(~1/P resident rows per host; k <= 63) — already "
+                        "the DEFAULT on multi-host runs")
+    p.add_argument("--no-shard-host-spectrum", action="store_true",
+                   help="force full spectrum replication onto every host "
+                        "(small-run fast path)")
     p.add_argument("--metrics", default=None, help="metrics.jsonl path")
     # mesh / multi-host (SURVEY.md §3.4): mesh axes, then one process per
     # host with --coordinator host:port --num-procs N --process-id P
@@ -52,7 +56,9 @@ def _cfg(args) -> KmeraxConfig:
         bloom_log2_width=args.bloom_log2_width,
         exact_capacity=args.exact_capacity,
         exact_spectrum=False if args.no_exact else None,
-        shard_host_spectrum=True if args.shard_host_spectrum else None,
+        shard_host_spectrum=(True if args.shard_host_spectrum else
+                             False if args.no_shard_host_spectrum else
+                             None),
         mesh_data=args.mesh_data, mesh_bucket=args.mesh_bucket,
     )
 

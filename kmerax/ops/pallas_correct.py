@@ -41,7 +41,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from kmerax.core.hash import HASH_SEED_1, HASH_SEED_2
+# the lane building blocks are the ONE shared implementation (SURVEY.md §2
+# #4): murmur3 fmix32 from core.hash, 2-bit-group reversal from core.codec —
+# both are plain uint32 jnp ops, legal inside Mosaic kernels, so the kernel
+# can never drift from the XLA path's hashing/canonicalization
+from kmerax.core.codec import _reverse_pairs_u32 as _revpairs
+from kmerax.core.hash import HASH_SEED_1, HASH_SEED_2, mix32 as _mix32
 
 TR = 128                      # entries per grid step
 VALID_BIT = 28                # must match spectrum.pallas_bloom.VALID_BIT
@@ -50,22 +55,6 @@ LP = 256                      # padded row length (max_read_len + k - 1 <= 256)
 
 def _u32(x):
     return jnp.asarray(x, dtype=jnp.uint32)
-
-
-def _mix32(x):
-    x = x ^ (x >> 16)
-    x = x * _u32(0x85EBCA6B)
-    x = x ^ (x >> 13)
-    x = x * _u32(0xC2B2AE35)
-    x = x ^ (x >> 16)
-    return x
-
-
-def _revpairs(w):
-    w = ((w & _u32(0x33333333)) << 2) | ((w >> 2) & _u32(0x33333333))
-    w = ((w & _u32(0x0F0F0F0F)) << 4) | ((w >> 4) & _u32(0x0F0F0F0F))
-    w = ((w & _u32(0x00FF00FF)) << 8) | ((w >> 8) & _u32(0x00FF00FF))
-    return (w << 16) | (w >> 16)
 
 
 def _roll_l(x, i, n):

@@ -34,9 +34,11 @@ def save_spectrum(dirpath: str, cfg, *, bloom_table=None, exact=None,
         if isinstance(host, ShardedHostSpectrum):
             # range-sharded spectrum: each process saves ONLY its shard
             # (that is the point — nothing global exists anywhere); the
-            # manifest records the shard geometry for resume
+            # manifest records the shard geometry for resume, and the
+            # range bounds persist so a resumed shard is complete
             arrays["host_uniq"] = host.local.uniq
             arrays["host_counts"] = host.local.counts
+            arrays["host_bounds"] = np.asarray(host.bounds)
             extra["host_shard"] = [host.pid, host.n_procs]
             npz_name = f"spectrum.p{host.pid}.npz"
         else:
@@ -66,11 +68,18 @@ def save_spectrum(dirpath: str, cfg, *, bloom_table=None, exact=None,
                    os.path.join(dirpath, "manifest.json"))
 
 
-def load_spectrum(dirpath: str, pid: int | None = None):
+def load_spectrum(dirpath: str, pid: int | None = None,
+                  n_procs: int | None = None):
     """Returns (manifest dict, arrays dict) or (None, None) if absent.
 
     Sharded-host saves (manifest key "host_shard") store one npz per
-    process; pass this process's `pid` to load its shard."""
+    process; pass this process's `pid` to load its shard. When the loaded
+    manifest IS a shard, its [pid, n_procs] geometry must match the
+    caller's — otherwise (resume under a different process count, or a
+    missing per-process manifest silently falling back to rank 0's shard)
+    the process would adopt the wrong key range and corrupt the global
+    histogram/threshold/solid set (ADVICE r4 medium #2) — raise instead.
+    """
     mpath = os.path.join(dirpath, "manifest.json")
     if pid is not None and os.path.exists(
             os.path.join(dirpath, f"manifest.p{pid}.json")):
@@ -79,6 +88,15 @@ def load_spectrum(dirpath: str, pid: int | None = None):
         return None, None
     with open(mpath) as f:
         manifest = json.load(f)
+    if "host_shard" in manifest:
+        want = [pid if pid is not None else 0,
+                n_procs if n_procs is not None else 1]
+        if manifest["host_shard"] != want:
+            raise RuntimeError(
+                f"sharded spectrum checkpoint geometry mismatch: manifest "
+                f"{mpath} holds shard {manifest['host_shard']} but this "
+                f"process is {want} — resume with the original process "
+                f"count, or delete the stage checkpoint to re-count")
     arrays = dict(np.load(
         os.path.join(dirpath, manifest.get("npz", "spectrum.npz"))))
     return manifest, arrays

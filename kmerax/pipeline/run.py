@@ -61,10 +61,13 @@ class CountState:
 REPLICATE_TABLE_BUDGET = 1 << 29        # 512 MB
 
 # observability: the spectrum path the last mesh correct step selected
-# (fused-pallas | routed-sharded | replicated-bitmap), and how many
-# route-overflow batch replays the last mesh count performed
+# (fused-pallas | routed-sharded | replicated-bitmap), how many
+# route-overflow batch replays the last mesh count performed, and the
+# route_safety level the stage ENDED at (decay hygiene: should be back at
+# baseline in steady state)
 LAST_CORRECT_PATH = None
 LAST_COUNT_RETRIES = 0
+LAST_ROUTE_SAFETY = None
 
 
 def _bloom_params(cfg: KmeraxConfig, k: int) -> BloomParams:
@@ -72,12 +75,18 @@ def _bloom_params(cfg: KmeraxConfig, k: int) -> BloomParams:
     if counter == "auto":
         # p16 exactly when it rescues VMEM/Pallas residency (the counting
         # VMEM cliff, round-3 VERDICT Missing #3); mesh counts keep i32
-        # shards (psum of packed halfwords would carry across counters)
+        # shards (psum of packed halfwords would carry across counters).
+        # Off the TPU backend there is no Pallas/VMEM residency to rescue
+        # — p16 would only add unpack/pack work and SAT16 saturation
+        # (ADVICE r4 low #2)
+        import jax
+
         from kmerax.spectrum.pallas_bloom import VMEM_BUDGET
 
         width = 1 << cfg.bloom_log2_width
         single = cfg.mesh_data * cfg.mesh_bucket == 1
-        counter = "p16" if (single and width * 4 > VMEM_BUDGET
+        counter = "p16" if (single and jax.default_backend() == "tpu"
+                            and width * 4 > VMEM_BUDGET
                             and width * 2 <= VMEM_BUDGET) else "i32"
     return BloomParams(k, cfg.bloom_log2_width, cfg.bloom_hashes,
                        cfg.minimizer_m, (cfg.num_buckets - 1).bit_length(),
@@ -387,8 +396,37 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
         paths = [paths]
     n_reads = n_kmers = 0
     off = 0
-    global LAST_COUNT_RETRIES
+    global LAST_COUNT_RETRIES, LAST_ROUTE_SAFETY
     LAST_COUNT_RETRIES = 0
+    import dataclasses
+
+    # route-safety hygiene (round-4 VERDICT Weak #8): compiled steps are
+    # CACHED per capacity level (a replay never re-traces a level it has
+    # seen), and after DECAY_AFTER overflow-free batches the capacity
+    # halves back toward baseline — one adversarial batch no longer
+    # inflates the routed-buffer memory for the rest of the stage.
+    base_safety = sp.route_safety
+    steps_by_safety = {base_safety: step}
+    clean_streak = 0
+    DECAY_AFTER = 8
+
+    def _set_safety(new_safety: int):
+        nonlocal sp, step, step_rows, pend_rows, pending, off
+        sp = dataclasses.replace(sp, route_safety=new_safety)
+        if pending is not None:
+            if off > 0:
+                flush(pending, off)
+            off = 0
+            step_rows = recv_rows(sp, n_flat)
+            pend_m = max(1, (cfg.exact_capacity // 2)
+                         // (step_rows * D * S))
+            pend_rows = pend_m * step_rows
+            _, pending = make_sharded_state(sp, mesh, pend_rows, k)
+        if new_safety not in steps_by_safety:
+            steps_by_safety[new_safety] = sharded_insert_step(
+                sp, mesh, k, pending is not None)
+        step = steps_by_safety[new_safety]
+
     m.stage_start("count")
     for bases, n_real in _global_batches(cfg, paths, reads_sh):
         while True:
@@ -408,20 +446,8 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
                     f"{sp.route_safety} ({int(ovf)} k-mers)")
             log.info("count[mesh]: route overflow (%d k-mers) — retrying "
                      "batch with route_safety=%d", int(ovf), new_safety)
-            import dataclasses
-            sp = dataclasses.replace(sp, route_safety=new_safety)
-            if pending is not None:
-                if off > 0:
-                    flush(pending, off)
-                    off = 0
-                new_rows = recv_rows(sp, n_flat)
-                if new_rows > pend_rows:
-                    pend_m = max(1, (cfg.exact_capacity // 2)
-                                 // (new_rows * D * S))
-                    pend_rows = pend_m * new_rows
-                    _, pending = make_sharded_state(sp, mesh, pend_rows, k)
-                step_rows = new_rows
-            step = sharded_insert_step(sp, mesh, k, pending is not None)
+            _set_safety(new_safety)
+            clean_streak = 0
         if pending is not None:
             off += step_rows
             if off + step_rows > pend_rows:
@@ -429,8 +455,18 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
                 off = 0
         n_reads += n_real
         n_kmers += int(nk)
+        if sp.route_safety > base_safety:
+            clean_streak += 1
+            if clean_streak >= DECAY_AFTER:
+                log.info("count[mesh]: %d clean batches — decaying "
+                         "route_safety %d -> %d", clean_streak,
+                         sp.route_safety, max(base_safety,
+                                              sp.route_safety // 2))
+                _set_safety(max(base_safety, sp.route_safety // 2))
+                clean_streak = 0
     if pending is not None and off > 0:
         flush(pending, off)
+    LAST_ROUTE_SAFETY = sp.route_safety
 
     from kmerax.spectrum.sharded import merge_keep_sharded
     merged_sharded = merge_keep_sharded(mesh)(table)  # (S, width/S) sharded
@@ -448,7 +484,11 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
     exact_state = None
     host = None
     if cfg.exact_spectrum:
-        if cfg.shard_host_spectrum and jax.process_count() > 1:
+        # None = auto: the range-sharded (~1/P-resident) spectrum is the
+        # multi-host DEFAULT; cfg False forces full replication
+        shard = cfg.shard_host_spectrum
+        shard = True if shard is None else shard
+        if shard and jax.process_count() > 1:
             from kmerax.spectrum.host_sharded import shard_spectrum
 
             host = shard_spectrum(host_rows, host_cnts, k)
@@ -471,7 +511,9 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
         else (cfg.threshold if cfg.threshold is not None else 2)
     if cfg.threshold is None and hist is None:
         raise ValueError("auto threshold needs exact_spectrum=True")
-    m.stage_end("count", reads=n_reads, kmers=n_kmers, threshold=t)
+    m.stage_end("count", reads=n_reads, kmers=n_kmers, threshold=t,
+                route_retries=LAST_COUNT_RETRIES,
+                route_safety_end=sp.route_safety)
     return CountState(cfg, merged, exact_state, hist, t, n_reads, n_kmers,
                       sharded=sp, host=host, sharded_table=merged_sharded)
 
@@ -634,8 +676,18 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
         units = [(paths, out_path, None)]
         concat = None
 
+    # per-host independent correction needs the REPLICATED table (the
+    # local-mesh step has no bucket axis to route over); past the
+    # replicate budget bloom_table is None, so fall back to the global
+    # mesh's routed-sharded path instead of aborting (per-host I/O and
+    # big-table correction compose — ADVICE r4 medium #1)
     per_host = _use_per_host_io(cfg, paths) and not use_exact \
-        and len(units) >= jax.process_count()
+        and len(units) >= jax.process_count() \
+        and state.bloom_table is not None
+    if _use_per_host_io(cfg, paths) and not use_exact and not per_host \
+            and state.bloom_table is None:
+        log.info("correct: per-host mode disabled (table past the "
+                 "replicate budget) — using global-mesh routed correction")
     if per_host:
         # per-host independent correction (SURVEY.md §1 L1 + round-2
         # VERDICT Weak #7): the solidity bitmap is replicated, so there is

@@ -48,7 +48,8 @@ def _count_stage(cfg: KmeraxConfig, paths, workdir, stage: str,
         import jax
 
         manifest, arrays = load_spectrum(spec_dir,
-                                         pid=jax.process_index())
+                                         pid=jax.process_index(),
+                                         n_procs=jax.process_count())
         if manifest is not None:
             log.info("%s: resumed from checkpoint", stage)
             from kmerax.spectrum.host import HostSpectrum
@@ -72,12 +73,22 @@ def _count_stage(cfg: KmeraxConfig, paths, workdir, stage: str,
 
                     pid, nprocs = manifest["host_shard"]
                     host = ShardedHostSpectrum(
-                        host, cfg.k, nprocs, pid, np.zeros(0, np.uint64))
+                        host, cfg.k, nprocs, pid,
+                        arrays.get("host_bounds",
+                                   np.zeros(0, np.uint64)))
             if "bloom_table" not in arrays:
                 raise RuntimeError(
                     f"{stage}: checkpoint has no replicated bloom table "
                     "(counted past the replicate budget) — resume by "
                     "re-counting (delete the stage marker)")
+            if cfg.mesh_data * cfg.mesh_bucket > 1:
+                # resumed states carry no sharded/sharded_table, so a
+                # resumed mesh run corrects via the replicated bitmap
+                # rather than routed-sharded (identical bytes; different
+                # memory contract) — say so (ADVICE r4 low #1)
+                log.info("%s: resumed state has no bucket-sharded table — "
+                         "mesh correction will use the replicated bitmap "
+                         "path", stage)
             return CountState(
                 cfg, jnp.asarray(arrays["bloom_table"]), exact,
                 arrays.get("hist"), manifest["threshold"],
@@ -85,11 +96,20 @@ def _count_stage(cfg: KmeraxConfig, paths, workdir, stage: str,
                 host=host)
     state = run_count(cfg, paths, metrics=m)
     if workdir is not None:
+        import jax
+
         save_spectrum(spec_dir, cfg, bloom_table=state.bloom_table,
                       exact=state.exact, threshold=state.threshold,
                       hist=state.hist, host=state.host, stage=stage,
                       extra={"n_reads": state.n_reads,
                              "n_kmers": state.n_kmers})
+        if jax.process_count() > 1:
+            # the done marker must imply EVERY process's shard is on disk
+            # (a crash between one process's save and another's would
+            # otherwise resume rank 0's shard as everyone's —
+            # ADVICE r4 medium #2)
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"kmerax:save_{stage}")
         _mark_done(workdir, stage)
     return state
 

@@ -52,22 +52,39 @@ def _allgather(arr: np.ndarray) -> np.ndarray:
     return np.asarray(mh.process_allgather(arr))
 
 
+def _keys_ge(keys: np.ndarray, bound: np.ndarray) -> np.ndarray:
+    """keys >= bound for pack_rows key forms: (N,) uint64 scalar-bound, or
+    (N, 2) [hi, lo] with a (2,) bound (128-bit compare, k=63)."""
+    if keys.ndim == 1:
+        return keys >= bound
+    return (keys[:, 0] > bound[0]) | \
+        ((keys[:, 0] == bound[0]) & (keys[:, 1] >= bound[1]))
+
+
 def _range_boundaries(keys: np.ndarray, n_procs: int) -> np.ndarray:
-    """Deterministic quantile boundaries over all processes' (packed,
-    uint64, W<=2) keys: (P-1,) split keys — owner p holds
-    [b_{p-1}, b_p). Sampling keeps the exchange O(sample) while canonical
-    k-mer bias (top bits skew toward A/C) is handled by construction."""
+    """Deterministic quantile boundaries over all processes' packed keys
+    (pack_rows form: (N,) uint64 for k<=31, (N,2) [hi,lo] for k<=63):
+    owner p holds [b_{p-1}, b_p). Sampling keeps the exchange O(sample)
+    while canonical k-mer bias (top bits skew toward A/C) is handled by
+    construction. Returns (P-1,) or (P-1, 2) split keys."""
+    two = keys.ndim == 2
     n = len(keys)
     stride = max(1, n // _SAMPLE)
     sample = keys[::stride][:_SAMPLE]
-    pad = np.full(_SAMPLE, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    shape = (_SAMPLE, 2) if two else (_SAMPLE,)
+    pad = np.full(shape, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
     pad[:len(sample)] = sample
     counts = _allgather(np.asarray([len(sample)], np.int64))  # (P, 1)
-    allsamp = _allgather(pad)                                 # (P, _SAMPLE)
+    allsamp = _allgather(pad)                       # (P, _SAMPLE[, 2])
     parts = [allsamp[p, :int(counts[p, 0])] for p in range(len(counts))]
-    merged = np.sort(np.concatenate(parts))
+    merged = np.concatenate(parts)
     if len(merged) == 0:
-        return np.zeros(n_procs - 1, np.uint64)
+        return np.zeros((n_procs - 1, 2) if two else (n_procs - 1,),
+                        np.uint64)
+    if two:
+        merged = merged[np.lexsort((merged[:, 1], merged[:, 0]))]
+    else:
+        merged = np.sort(merged)
     qs = [merged[min(len(merged) - 1, (len(merged) * p) // n_procs)]
           for p in range(1, n_procs)]
     return np.asarray(qs, np.uint64)
@@ -125,15 +142,22 @@ def shard_spectrum(rows: np.ndarray, counts: np.ndarray, k: int,
     ends on exactly one host with its exact global count.
     """
     nproc, pid = jax.process_count(), jax.process_index()
+    w = rows.shape[1]
+    assert w <= 4, "range sharding packs keys to <= two uint64 (k <= 63)"
+    two = w > 2
     if nproc == 1:
         return ShardedHostSpectrum(HostSpectrum(rows, counts, k), k, 1, 0,
-                                   np.zeros(0, np.uint64))
-    w = rows.shape[1]
-    assert w <= 2, "range sharding packs keys to one uint64 (k <= 31)"
-    keys = pack_rows(rows) if len(rows) else np.zeros(0, np.uint64)
+                                   np.zeros((0, 2) if two else 0,
+                                            np.uint64))
+    kshape = (0, 2) if two else (0,)
+    keys = pack_rows(rows) if len(rows) \
+        else np.zeros(kshape, np.uint64)
     bounds = _range_boundaries(keys, nproc)
-    lo = np.uint64(0) if pid == 0 else bounds[pid - 1]
-    hi = np.uint64(0xFFFFFFFFFFFFFFFF) if pid == nproc - 1 else bounds[pid]
+    top = np.uint64(0xFFFFFFFFFFFFFFFF)
+    zero = np.zeros(2, np.uint64) if two else np.uint64(0)
+    ones = np.full(2, top, np.uint64) if two else top
+    lo = zero if pid == 0 else bounds[pid - 1]
+    hi = ones if pid == nproc - 1 else bounds[pid]
 
     have = np.asarray([len(rows)], np.int64)
     maxn = int(_allgather(have).max())
@@ -150,8 +174,8 @@ def shard_spectrum(rows: np.ndarray, counts: np.ndarray, k: int,
         allr = _allgather(pr).reshape(-1, w)       # (P*(e-s), W)
         allc = _allgather(pc).reshape(-1)
         kk = pack_rows(allr)
-        keep = (allc > 0) & (kk >= lo) & \
-            ((kk < hi) | (pid == nproc - 1))
+        keep = (allc > 0) & _keys_ge(kk, lo) & \
+            (~_keys_ge(kk, hi) | (pid == nproc - 1))
         acc_r.append(allr[keep])
         acc_c.append(allc[keep])
     uniq, cnts = np_merge_counted(np.concatenate(acc_r, axis=0),

@@ -12,6 +12,7 @@ def main():
     coordinator, nprocs, pid, outdir, fq = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
         sys.argv[5])
+    k = int(sys.argv[6]) if len(sys.argv) > 6 else 31
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["KMERAX_PROCESS_INDEX"] = str(pid)
     import jax
@@ -26,7 +27,7 @@ def main():
     from kmerax.pipeline.run import run_count
     from kmerax.spectrum.host_sharded import ShardedHostSpectrum
 
-    cfg = KmeraxConfig(k=31, bloom_log2_width=16, batch_reads=512,
+    cfg = KmeraxConfig(k=k, bloom_log2_width=16, batch_reads=512,
                        max_read_len=100, exact_capacity=1 << 16,
                        mesh_data=2, mesh_bucket=4,
                        shard_host_spectrum=True)

@@ -1,14 +1,14 @@
-"""Key-range-sharded host spectrum + multi-process partitioned assembly
-(round-3 VERDICT Missing #4/#5 done-criteria): 2 processes, per-process
-resident rows ~ 1/2 of global, FASTA bytes unchanged vs the single-process
-run, edge-discovery work split across processes."""
+"""Per-host I/O x past-replicate-budget x default sharded memory model
+(round-4 VERDICT task 4 / Weak #2, ADVICE medium #1): 2 processes, one
+plain FASTQ, replicate budget forced to 0 — correction must fall back to
+the global routed-sharded path (no ValueError), the host spectrum must
+range-shard WITHOUT any allgather_spectrum call, and the corrected bytes
+must equal the single-process run."""
 
 import os
 import socket
 import subprocess
 import sys
-
-import pytest
 
 
 def _free_port():
@@ -19,19 +19,16 @@ def _free_port():
     return port
 
 
-@pytest.mark.parametrize("k", [31, 63])
-def test_two_process_sharded_spectrum_assembly(tmp_path, k):
-    """k=63 exercises the two-uint64 (128-bit) range keys (round-4 VERDICT
-    Missing #3: config 5's k=63 pass through --shard-host-spectrum)."""
+def test_perhost_bigtable_falls_back_routed(tmp_path):
     from sim import ecoli_like, make_fastq
 
-    _, reads = ecoli_like(seed=55, genome_len=4000, coverage=30,
+    _, reads = ecoli_like(seed=77, genome_len=3000, coverage=30,
                           read_len=100, error_rate=0.01)
     fq = tmp_path / "reads.fastq"
     fq.write_bytes(make_fastq(reads))
 
     here = os.path.dirname(__file__)
-    worker = os.path.join(here, "_mp_shardspec_worker.py")
+    worker = os.path.join(here, "_mp_bigtable_worker.py")
     coord = f"localhost:{_free_port()}"
     outdir = tmp_path / "out"
     outdir.mkdir()
@@ -39,7 +36,7 @@ def test_two_process_sharded_spectrum_assembly(tmp_path, k):
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [subprocess.Popen(
         [sys.executable, worker, coord, "2", str(pid), str(outdir),
-         str(fq), str(k)],
+         str(fq)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in range(2)]
     outs = []
@@ -54,21 +51,17 @@ def test_two_process_sharded_spectrum_assembly(tmp_path, k):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"worker {pid} OK" in out
+    # the per-host gate must have logged its fallback
+    assert any("per-host mode disabled" in out for out in outs), \
+        "expected the per-host gate to disable itself past the budget"
 
-    # single-process reference: same config (minus sharding), same stages
+    # single-process reference bytes
     from kmerax.config import KmeraxConfig
-    from kmerax.graph.unitig import assemble_to_fasta
-    from kmerax.pipeline.run import run_count
+    from kmerax.pipeline import run_correct, run_count
 
-    cfg = KmeraxConfig(k=k, bloom_log2_width=16, batch_reads=512,
+    cfg = KmeraxConfig(k=31, bloom_log2_width=16, batch_reads=512,
                        max_read_len=100, exact_capacity=1 << 16)
     state = run_count(cfg, [str(fq)])
-    ref = tmp_path / "ref.fasta"
-    assemble_to_fasta(cfg, state, str(ref))
-
-    got = (outdir / "contigs.fasta").read_bytes()
-    assert got == ref.read_bytes()
-
-    # per-process residency ~1/2 (asserted in-worker; echoed here)
-    for out in outs:
-        assert "resident" in out
+    ref = tmp_path / "ref.fastq"
+    run_correct(cfg, [str(fq)], state, str(ref))
+    assert (outdir / "corrected.fastq").read_bytes() == ref.read_bytes()

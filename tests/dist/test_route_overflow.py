@@ -57,3 +57,34 @@ def test_uniform_data_does_not_retry(skewed_fastq, tmp_path_factory):
     cfg = KmeraxConfig(mesh_data=2, mesh_bucket=4, **CFG)
     run_count(cfg, [str(p)])
     assert run_mod.LAST_COUNT_RETRIES == 0
+
+
+def test_route_safety_decays_back_to_baseline(skewed_fastq,
+                                              tmp_path_factory):
+    """Round-4 VERDICT Weak #8: one adversarial batch must not inflate the
+    routed-buffer capacity for the rest of the stage — after enough clean
+    batches route_safety halves back to its baseline."""
+    from kmerax.spectrum.sharded import ShardedParams
+    from sim import ecoli_like
+
+    _, reads = ecoli_like(seed=9, genome_len=1500, coverage=90,
+                          read_len=100, error_rate=0.01)
+    # skewed reads FIRST (force the bump), then >8 clean batches
+    skew = open(skewed_fastq, "rb").read()
+    p = tmp_path_factory.mktemp("decay") / "mix.fastq"
+    p.write_bytes(skew + make_fastq(reads))
+
+    cfg = KmeraxConfig(mesh_data=1, mesh_bucket=8, **CFG)
+    base = ShardedParams(
+        run_mod._bloom_params(cfg, cfg.k), n_shards=8).route_safety
+    state = run_count(cfg, [str(p)])
+    assert run_mod.LAST_COUNT_RETRIES >= 1
+    assert run_mod.LAST_ROUTE_SAFETY == base, \
+        (run_mod.LAST_ROUTE_SAFETY, base)
+
+    # and the counts are still exactly the single-device truth (the
+    # distinct set exceeds exact_capacity here, so compare the
+    # host-resident spectra)
+    ref = run_count(KmeraxConfig(**CFG), [str(p)])
+    assert np.array_equal(state.host.uniq, ref.host.uniq)
+    assert np.array_equal(state.host.counts, ref.host.counts)

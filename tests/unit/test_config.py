@@ -69,8 +69,18 @@ def test_checkpoint_sharded_host_roundtrip(tmp_path):
     cfg = KmeraxConfig(k=31)
     save_spectrum(str(tmp_path), cfg, bloom_table=np.zeros(256, np.int32),
                   threshold=2, host=host)
-    manifest, arrays = load_spectrum(str(tmp_path), pid=0)
+    manifest, arrays = load_spectrum(str(tmp_path), pid=0, n_procs=2)
     assert manifest["host_shard"] == [0, 2]
     assert np.array_equal(arrays["host_uniq"], uniq)
     assert np.array_equal(arrays["host_counts"], counts)
+    assert np.array_equal(arrays["host_bounds"], host.bounds)
     assert "bloom_table" in arrays
+
+    # geometry mismatch (resume under a different process count, or the
+    # per-process manifest silently falling back to rank 0's shard) must
+    # RAISE, not adopt the wrong key range (ADVICE r4 medium #2)
+    import pytest
+    with pytest.raises(RuntimeError, match="geometry mismatch"):
+        load_spectrum(str(tmp_path), pid=0)          # implied n_procs=1
+    with pytest.raises(RuntimeError, match="geometry mismatch"):
+        load_spectrum(str(tmp_path), pid=1, n_procs=2)  # rank-0 fallback

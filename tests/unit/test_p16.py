@@ -94,12 +94,20 @@ def test_auto_counter_resolution():
     from kmerax.spectrum.pallas_bloom import VMEM_BUDGET
 
     # pick widths around the budget: 2^24 i32 = 64MB fits -> i32;
-    # 2^25 i32 = 128MB > budget but p16 64MB fits -> p16
+    # 2^25 i32 = 128MB > budget but p16 64MB fits -> p16 — on the TPU
+    # backend ONLY (no Pallas residency to rescue elsewhere; ADVICE r4
+    # low #2 — this CPU-backend test asserts i32, then fakes a TPU)
+    import unittest.mock as mock
+
     assert VMEM_BUDGET == 100 * 1024 * 1024
     assert _bloom_params(KmeraxConfig(k=31, bloom_log2_width=24),
                          31).counter == "i32"
     assert _bloom_params(KmeraxConfig(k=31, bloom_log2_width=25),
-                         31).counter == "p16"
+                         31).counter == "i32"      # CPU backend: no p16
+    import jax
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        assert _bloom_params(KmeraxConfig(k=31, bloom_log2_width=25),
+                             31).counter == "p16"
     # mesh configs stay i32 even at wide tables
     assert _bloom_params(
         KmeraxConfig(k=31, bloom_log2_width=25, mesh_data=2, mesh_bucket=4),
