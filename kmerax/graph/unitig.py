@@ -256,13 +256,17 @@ def assemble_to_fasta(cfg, state, out_fasta: str,
         from kmerax.spectrum.host_sharded import ShardedHostSpectrum
 
         host = state.host
+        if isinstance(host, ShardedHostSpectrum) and host.n_procs > 1:
+            # fully distributed assembly (round-5, graph/sharded.py): the
+            # global solid set never materializes on any host — owner-
+            # serves joins, distributed pointer doubling, per-owner
+            # emission, rank-0 part merge (writes the FASTA itself)
+            from kmerax.graph.sharded import assemble_sharded
+
+            return assemble_sharded(host, t, cfg.k, out_fasta)
         if isinstance(host, ShardedHostSpectrum):
-            # range-sharded spectrum: gather only the (20-60x smaller)
-            # global SOLID set; the distinct set never replicates
-            seqs = assemble_host(None, t, cfg.k,
-                                 suniq=host.solid_global(t))
-        else:
-            seqs = assemble_host(host, t, cfg.k)
+            host = host.local
+        seqs = assemble_host(host, t, cfg.k)
     elif state.exact is not None:
         uniq, counts, _ = state.exact
         arrays = jax.jit(unitig_arrays, static_argnums=2)(

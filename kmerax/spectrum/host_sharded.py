@@ -116,19 +116,10 @@ class ShardedHostSpectrum:
         h = self.local.histogram(max_count)
         return _allgather(h).sum(axis=0)
 
-    def solid_global(self, t: int) -> np.ndarray:
-        """The GLOBAL solid set (C, W), gathered range-wise in pid order —
-        already globally sorted (ranges partition the sort order)."""
-        sidx = self.local.solid_indices(t)
-        mine = np.ascontiguousarray(self.local.uniq[sidx])
-        w = mine.shape[1] if mine.ndim == 2 else 1
-        counts = _allgather(np.asarray([len(mine)], np.int64))
-        maxn = max(1, int(counts.max()))
-        pad = np.full((maxn, w), SENTINEL_WORD, np.uint32)
-        pad[:len(mine)] = mine
-        allr = _allgather(pad)
-        parts = [allr[p, :int(counts[p, 0])] for p in range(len(counts))]
-        return np.concatenate(parts, axis=0)
+    # NOTE: the round-4 `solid_global` gather (full global solid set onto
+    # every host) was removed in round 5 — assembly now runs fully
+    # distributed against the range shards (graph/sharded.py), so nothing
+    # O(global) ever materializes per process.
 
 
 def shard_spectrum(rows: np.ndarray, counts: np.ndarray, k: int,

@@ -41,17 +41,27 @@ def main():
     assert 0.3 <= frac <= 0.7, \
         f"range shard not balanced: {n_local}/{n_global}"
 
-    # partitioned assembly from the sharded spectrum: small partitions so
-    # edge discovery actually splits across the 2 processes
-    from kmerax.graph.partitioned import assemble_host
-    seqs = assemble_host(None, state.threshold, cfg.k,
-                         partition_rows=256,
-                         suniq=host.solid_global(state.threshold))
-    if pid == 0:
-        from kmerax.io.fasta import write_fasta
-        write_fasta(os.path.join(outdir, "contigs.fasta"), seqs)
+    # fully distributed assembly (round-5, graph/sharded.py): small
+    # partitions + small chunks so the exchanges actually iterate
+    import kmerax.graph.sharded as gs
+
+    n_unitigs = gs.assemble_sharded(
+        host, state.threshold, cfg.k,
+        os.path.join(outdir, "contigs.fasta"),
+        partition_rows=256, chunk=1 << 12)
+
+    # scale contract (round-4 VERDICT task 2 done-criteria): per-process
+    # peak SOLID rows and peak EDGE rows ~ 1/2 of global — nothing
+    # O(global) resides on any process
+    st = gs.LAST_STATS
+    sfrac = st["peak_solid_rows"] / max(st["global_solid"], 1)
+    efrac = st["peak_edge_rows"] / max(st["global_solid"], 1)
+    print(f"worker {pid} assembly resident solid={sfrac:.3f} "
+          f"edges={efrac:.3f} of {st['global_solid']}")
+    assert 0.3 <= sfrac <= 0.7, f"solid rows not sharded: {st}"
+    assert 0.3 <= efrac <= 0.7, f"edge rows not sharded: {st}"
     print(f"worker {pid} OK threshold={state.threshold} "
-          f"unitigs={len(seqs)}")
+          f"unitigs={n_unitigs}")
 
 
 if __name__ == "__main__":

@@ -72,3 +72,59 @@ def test_two_process_sharded_spectrum_assembly(tmp_path, k):
     # per-process residency ~1/2 (asserted in-worker; echoed here)
     for out in outs:
         assert "resident" in out
+
+
+def test_two_process_sharded_assembly_cycle(tmp_path):
+    """A circular genome makes the solid dBG one big cycle: the
+    DISTRIBUTED cycle detection + cut (graph/sharded.py phase A) must
+    reproduce the single-process cut bit-for-bit."""
+    import numpy as np
+    from sim import make_fastq, SimRead
+
+    rng = np.random.default_rng(13)
+    genome = rng.integers(0, 4, 2000).astype(np.uint8)
+    circ = np.concatenate([genome, genome[:100]])
+    reads = []
+    for i in range(600):
+        s = rng.integers(0, 2000)
+        reads.append(SimRead(name=f"c{i}", bases=circ[s:s + 100].copy(),
+                             qual="I" * 100,
+                             true_bases=circ[s:s + 100].copy(),
+                             pos=int(s), strand=0))
+    fq = tmp_path / "circ.fastq"
+    fq.write_bytes(make_fastq(reads))
+
+    here = os.path.dirname(__file__)
+    worker = os.path.join(here, "_mp_shardspec_worker.py")
+    coord = f"localhost:{_free_port()}"
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coord, "2", str(pid), str(outdir),
+         str(fq), "31"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+    from kmerax.config import KmeraxConfig
+    from kmerax.graph.unitig import assemble_to_fasta
+    from kmerax.pipeline.run import run_count
+
+    cfg = KmeraxConfig(k=31, bloom_log2_width=16, batch_reads=512,
+                       max_read_len=100, exact_capacity=1 << 16)
+    state = run_count(cfg, [str(fq)])
+    ref = tmp_path / "ref.fasta"
+    assemble_to_fasta(cfg, state, str(ref))
+    assert (outdir / "contigs.fasta").read_bytes() == ref.read_bytes()
