@@ -107,6 +107,49 @@ def _sim_inputs(spec: AcceptanceSpec, scale: float, workdir: str, seed: int):
     return genome, [p], [reads]
 
 
+def assembly_metrics(genome: np.ndarray, fasta_path: str, k: int) -> dict:
+    """Assembly quality vs the known simulated genome (round-4 VERDICT
+    Weak #6: make "unitigs: N" interpretable): contig count, total bases,
+    N50, and the fraction of the genome's distinct canonical k-mers that
+    appear in the contigs (a gap-free coverage proxy robust to the
+    orientation/offset freedom of unitigs)."""
+    from kmerax.io.fasta import read_fasta
+    from kmerax.ops.align import build_contig_index
+    from kmerax.spectrum.host import pack_rows
+    from oracle.codec import seq_to_bases
+
+    contigs = []
+    lens = []
+    for _, seq in read_fasta(fasta_path):
+        lens.append(len(seq))
+        contigs.append(seq_to_bases(seq))
+    lens.sort(reverse=True)
+    total = int(sum(lens))
+    n50 = 0
+    acc = 0
+    for ln in lens:
+        acc += ln
+        if acc * 2 >= total:
+            n50 = ln
+            break
+    _, g_uniq, _ = build_contig_index([genome.astype(np.uint8)], k)
+    g_keys = pack_rows(np.asarray(g_uniq))
+    if contigs:
+        _, c_uniq, _ = build_contig_index(contigs, k)
+        c_keys = pack_rows(np.asarray(c_uniq))
+    else:
+        c_keys = np.zeros(0, g_keys.dtype)
+    if g_keys.ndim == 2:            # k=63: (N, 2) uint64 -> void rows
+        vt = [("a", np.uint64), ("b", np.uint64)]
+        g_keys = np.ascontiguousarray(g_keys).view(vt).reshape(-1)
+        c_keys = np.ascontiguousarray(c_keys).view(vt).reshape(-1) \
+            if len(c_keys) else np.zeros(0, vt)
+    covered = np.isin(g_keys, c_keys).sum()
+    return {"contigs": len(lens), "total_bases": total, "n50": n50,
+            "genome_kmer_fraction": round(float(covered)
+                                          / max(len(g_keys), 1), 4)}
+
+
 def _accuracy(in_reads, out_paths) -> dict:
     """Error-correction gain: (errors fixed - errors introduced) / errors."""
     from kmerax.io.fastq import read_fastq
@@ -218,6 +261,9 @@ def run_config(n: int, scale="1.0", workdir: str | None = None,
     wall = time.perf_counter() - t0
 
     acc = _accuracy(sim_reads, out_list)
+    asm = None
+    if out_fasta is not None and os.path.exists(out_fasta):
+        asm = assembly_metrics(genome, out_fasta, spec.k2 or spec.k)
     report = {
         "config": n, "name": spec.name, "note": spec.note,
         "scale": scale, "genome_len": len(genome), "reads": n_reads,
@@ -227,6 +273,8 @@ def run_config(n: int, scale="1.0", workdir: str | None = None,
         **{k: v for k, v in result.items() if k != "reads"},
         "accuracy": acc, "workdir": workdir,
     }
+    if asm is not None:
+        report["assembly"] = asm
     return report
 
 
