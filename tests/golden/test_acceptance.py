@@ -39,6 +39,11 @@ def test_assemble_config_emits_contigs(tmp_path):
     rep = run_config(3, scale=0.04, workdir=str(tmp_path / "acc3"))
     assert rep.get("unitigs", 0) > 0
     assert rep["accuracy"]["gain"] > 0.5
+    asm = rep["assembly"]
+    assert asm["contigs"] == rep["unitigs"]
+    assert asm["n50"] > 0 and asm["total_bases"] > 0
+    # contigs should reconstruct nearly all of the genome's k-mer content
+    assert asm["genome_kmer_fraction"] > 0.9, asm
 
 
 def test_twopass_config(tmp_path):
