@@ -22,12 +22,13 @@ anywhere:
     each a single (value, successor) exchange;
   * chains are emitted by the owner of their END node only — each element
     routes one fixed-size record (plus the head k-mer words for chain
-    starts) to that owner; rank 0 gathers the per-process sequence lists,
-    dedupes, sorts, and writes the FASTA.
+    starts) to that owner; each process writes its chains to a part file
+    and rank 0 merges them (dedupe + global order) into the FASTA, so only
+    the writer ever holds the full output.
 
 Byte-identical FASTA vs graph.unitig.emit_unitigs (the single-process
 truth): same internal rule, same cycle cut, same head/keep rule, same
-canonicalization and ordering (tests/dist/test_sharded_assembly.py).
+canonicalization and ordering (tests/dist/test_shard_host_spectrum.py).
 
 The earlier device-mesh variant (graph/distributed.py, all-gather joins of
 REPLICATED spectra) was deleted in round 5: it required the full spectrum
@@ -48,6 +49,17 @@ from kmerax.utils.logging import get_logger
 log = get_logger("kmerax.graph.sharded")
 
 EXCHANGE_CHUNK = 1 << 18        # queries per exchange step (per process)
+EXCHANGE_BUDGET = 256 << 20     # bytes allowed for the (P, P, chunk, V)
+                                # transient answer gather per step
+
+
+def _eff_chunk(chunk: int, n_out: int) -> int:
+    """Clamp the per-step chunk so the P^2-shaped answer gather stays
+    within EXCHANGE_BUDGET (P=16, V=2 -> 64k rows/step). Deterministic in
+    (P, n_out), so every process derives the same collective schedule."""
+    P = jax.process_count()
+    cap = max(1 << 10, EXCHANGE_BUDGET // max(1, P * P * n_out * 8))
+    return min(chunk, cap)
 
 # observability for the scale tests: per-process peak resident rows of the
 # last assemble_sharded call
@@ -69,6 +81,7 @@ def _exchange_serve(queries: np.ndarray, serve, n_out: int,
     outside its range must contribute zeros. Disjoint ownership makes the
     cross-process sum exact. Returns (n, n_out) int64.
     """
+    chunk = _eff_chunk(chunk, n_out)
     n = len(queries)
     maxn = int(_allgather(np.asarray([n], np.int64)).max())
     out = np.zeros((n, n_out), np.int64)
@@ -93,6 +106,7 @@ def _exchange_member(cand: np.ndarray, skeys, row_lo: int,
     (found (n,), global solid row id (n,) int64). Every process searches
     every chunk against its OWN sorted solid keys; a key matches in at
     most one range, so found/id sum exactly."""
+    chunk = _eff_chunk(chunk, 2)
     n, w = cand.shape
     maxn = int(_allgather(np.asarray([n], np.int64)).max())
     found = np.zeros(n, bool)
