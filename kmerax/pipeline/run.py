@@ -391,6 +391,8 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
         host_rows, host_cnts = np_merge_counted(
             np.concatenate([host_rows, raw], axis=0),
             np.concatenate([host_cnts, np.ones(len(raw), np.int64)]))
+        log.info("count[mesh]: flushed %d raw rows (%d distinct resident)",
+                 len(raw), len(host_rows))
 
     if isinstance(paths, str):
         paths = [paths]
@@ -427,8 +429,23 @@ def _run_count_sharded(cfg: KmeraxConfig, paths, k, metrics) -> CountState:
                 sp, mesh, k, pending is not None)
         step = steps_by_safety[new_safety]
 
+    import os as _os
+    _memdbg = _os.environ.get("KMERAX_MEMDEBUG")
+
+    def _rss_mb():
+        with open("/proc/self/status") as fh:
+            for ln in fh:
+                if ln.startswith("VmRSS"):
+                    return int(ln.split()[1]) // 1024
+        return -1
+
+    _nb = 0
     m.stage_start("count")
     for bases, n_real in _global_batches(cfg, paths, reads_sh):
+        _nb += 1
+        if _memdbg and _nb % 25 == 0:
+            log.info("count[mesh] memdbg: batch %d rss=%dMB", _nb,
+                     _rss_mb())
         while True:
             table, pending, nk, ovf = step(table, pending, bases,
                                            jnp.int32(off))

@@ -204,7 +204,16 @@ def sharded_insert_step(sp: ShardedParams, mesh, k: int,
     sm = shard_map(inner, mesh=mesh, in_specs=tuple(in_specs),
                    out_specs=tuple(out_specs), check_vma=False)
 
-    @jax.jit
+    # table and pending are DONATED: the step's functional update reuses
+    # their buffers in place (the caller always rebinds to the outputs, so
+    # the old generation is never read again — including the overflow
+    # replay, which replays with the RETURNED unchanged arrays). Without
+    # donation every batch allocates a fresh table+pending generation
+    # (hundreds of MB to GBs at config-4/5 widths) and allocator churn
+    # inflates RSS far past the live set.
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(table, pending, bases, off=0):
         off = jnp.asarray(off, jnp.int32)
         if pending is not None:
