@@ -245,6 +245,8 @@ def assemble_sharded(shost, t: int, k: int, out_fasta: str,
     # from the successor's owner)
     def serve_outdeg(ids):
         ids = np.asarray(ids)
+        if C_p == 0:                   # empty range: nothing to serve
+            return np.zeros((len(ids), 2), np.int64)
         ok = (ids >= row_lo) & (ids < row_lo + C_p)
         loc = np.where(ok, ids - row_lo, 0).astype(np.int64)
         vals = outdeg[loc].astype(np.int64)        # (m, 2)
@@ -273,6 +275,8 @@ def assemble_sharded(shost, t: int, k: int, out_fasta: str,
         """One doubling round: fetch (vals[e], e[e]) from e's owners."""
         def serve(ids):
             ids = np.asarray(ids)
+            if C_p == 0:
+                return np.zeros((len(ids), 2), np.int64)
             ok = (ids >= enc_lo) & (ids < enc_lo + 2 * C_p)
             loc = np.where(ok, ids - enc_lo, 0).astype(np.int64)
             out = np.stack([vals[loc], eloc[loc]], axis=1)
@@ -292,6 +296,8 @@ def assemble_sharded(shost, t: int, k: int, out_fasta: str,
 
     def serve_terminal(ids):
         ids = np.asarray(ids)
+        if C_p == 0:
+            return np.zeros((len(ids), 1), np.int64)
         ok = (ids >= enc_lo) & (ids < enc_lo + 2 * C_p)
         loc = np.where(ok, ids - enc_lo, 0).astype(np.int64)
         out = terminal[loc].astype(np.int64)[:, None]

@@ -128,3 +128,53 @@ def test_two_process_sharded_assembly_cycle(tmp_path):
     ref = tmp_path / "ref.fasta"
     assemble_to_fasta(cfg, state, str(ref))
     assert (outdir / "contigs.fasta").read_bytes() == ref.read_bytes()
+
+
+def test_two_process_empty_range_assembly(tmp_path):
+    """One process's key range holds zero solid rows: the owner-serves
+    closures must not index empty arrays, and the FASTA must still match
+    the single-process emit."""
+    import numpy as np
+
+    here = os.path.dirname(__file__)
+    worker = os.path.join(here, "_mp_emptyrange_worker.py")
+    coord = f"localhost:{_free_port()}"
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, coord, "2", str(pid), str(outdir)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode(errors="replace"))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+    # single-process reference over the same solid set
+    import jax.numpy as jnp
+    from kmerax.core.codec import canonical_words
+    from kmerax.core.kmers import extract_kmers
+    from kmerax.graph.partitioned import assemble_host
+    from kmerax.spectrum.exact import np_merge_counted
+    from kmerax.spectrum.host import HostSpectrum
+
+    k = 31
+    rng = np.random.default_rng(7)
+    genome = rng.integers(0, 4, 1500).astype(np.int32)
+    words, valid = extract_kmers(jnp.asarray(genome[None]), k)
+    canon, _ = canonical_words(words, k)
+    rows = np.asarray(canon[0])[np.asarray(valid[0])]
+    uniq, counts = np_merge_counted(rows, np.ones(len(rows), np.int64))
+    seqs = assemble_host(HostSpectrum(uniq, counts, k), 1, k)
+    ref = "".join(f">unitig_{i} len={len(s)}\n{s}\n"
+                  for i, s in enumerate(seqs)).encode()
+    assert (outdir / "contigs.fasta").read_bytes() == ref
