@@ -883,33 +883,77 @@ def run_align(cfg: KmeraxConfig, paths, contigs_fasta: str,
 
     if isinstance(paths, str):
         paths = [paths]
+    # multi-host: each process aligns only ITS OWN size-balanced input
+    # shards (per-read work is independent; the index is replicated) —
+    # TSV parts concat in shard order = original read order; stats sum.
+    per_host = _use_per_host_io(cfg, paths)
+    if per_host:
+        from kmerax.io.shard import _assign_by_size, all_input_shards, \
+            shard_size
+
+        shards = all_input_shards(paths, jax.process_count())
+        sizes = [shard_size(sh_) for sh_ in shards]
+        nproc, pid = jax.process_count(), jax.process_index()
+        mine = set(_assign_by_size(sizes, nproc)[pid])
+        my_units = [([sh_], i) for i, sh_ in enumerate(shards)
+                    if i in mine]
+        log.info("align[per-host]: process %d aligns %d/%d shards",
+                 pid, len(my_units), len(shards))
+    else:
+        my_units = [(paths, None)]
+
     n_reads = n_aligned = 0
     sum_ident = 0.0
-    tsv = open(out_tsv, "w") if out_tsv else None
     m.stage_start("align")
     with maybe_trace("align"):
-        for batch in BackgroundBatcher(paths, cfg.batch_reads,
-                                       cfg.max_read_len):
-            found, strand, pos, score = step(jnp.asarray(batch.bases),
-                                             jnp.asarray(batch.lengths))
-            found = np.asarray(found)[:batch.n]
-            strand = np.asarray(strand)[:batch.n]
-            pos = np.asarray(pos)[:batch.n]
-            score = np.asarray(score)[:batch.n]
-            lens = batch.lengths[:batch.n]
-            ident = np.where(found & (lens > 0),
-                             score / (2.0 * np.maximum(lens, 1)), 0.0)
-            n_reads += batch.n
-            n_aligned += int(found.sum())
-            sum_ident += float(ident[found].sum())
+        for gpaths, unit_i in my_units:
+            tpath = out_tsv if out_tsv and unit_i is None else \
+                (f"{out_tsv}.part{unit_i:04d}" if out_tsv else None)
+            tsv = open(tpath, "w") if tpath else None
+            for batch in BackgroundBatcher(gpaths, cfg.batch_reads,
+                                           cfg.max_read_len):
+                found, strand, pos, score = step(jnp.asarray(batch.bases),
+                                                 jnp.asarray(batch.lengths))
+                found = np.asarray(found)[:batch.n]
+                strand = np.asarray(strand)[:batch.n]
+                pos = np.asarray(pos)[:batch.n]
+                score = np.asarray(score)[:batch.n]
+                lens = batch.lengths[:batch.n]
+                ident = np.where(found & (lens > 0),
+                                 score / (2.0 * np.maximum(lens, 1)), 0.0)
+                n_reads += batch.n
+                n_aligned += int(found.sum())
+                sum_ident += float(ident[found].sum())
+                if tsv:
+                    for i in range(batch.n):
+                        tsv.write(f"{batch.records[i].name.decode()}\t"
+                                  f"{int(found[i])}\t{int(strand[i])}\t"
+                                  f"{int(pos[i])}\t{int(score[i])}\t"
+                                  f"{ident[i]:.4f}\n")
             if tsv:
-                for i in range(batch.n):
-                    tsv.write(f"{batch.records[i].name.decode()}\t"
-                              f"{int(found[i])}\t{int(strand[i])}\t"
-                              f"{int(pos[i])}\t{int(score[i])}\t"
-                              f"{ident[i]:.4f}\n")
-    if tsv:
-        tsv.close()
+                tsv.close()
+    if per_host:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("kmerax:align_parts")
+        # int64-safe allgather (x64 is disabled; identity sums ride as
+        # micro-identity integers to dodge the float32 truncation)
+        from kmerax.spectrum.host_sharded import _allgather
+
+        totals = _allgather(np.asarray(
+            [n_reads, n_aligned, int(round(sum_ident * 1e6))], np.int64))
+        n_reads = int(totals[:, 0].sum())
+        n_aligned = int(totals[:, 1].sum())
+        sum_ident = float(totals[:, 2].sum()) / 1e6
+        if out_tsv and jax.process_index() == 0:
+            import os
+
+            with open(out_tsv, "w") as dst:
+                for i in range(len(shards)):
+                    with open(f"{out_tsv}.part{i:04d}") as src:
+                        dst.write(src.read())
+                    os.remove(f"{out_tsv}.part{i:04d}")
+        multihost_utils.sync_global_devices("kmerax:align_concat")
     stats = {"reads": n_reads, "aligned": n_aligned,
              "aligned_frac": round(n_aligned / max(n_reads, 1), 4),
              "mean_identity": round(sum_ident / max(n_aligned, 1), 4)}
