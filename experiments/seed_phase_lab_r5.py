@@ -100,7 +100,8 @@ from kmerax.ops.seed_hash import probe_first_hit
 @jax.jit
 def f_phased(st, bases):
     canon, valid = canon_of(bases)
-    first, payload, found = probe_first_hit(TAB, S, AT, canon, valid)
+    # (round-5 later: probe_first_hit grew an `ok` replay flag)
+    first, payload, found, ok = probe_first_hit(TAB, S, AT, canon, valid)
     return st + jnp.sum(found.astype(jnp.int32))
 
 timeit("E: probe_first_hit (w/ cond)", f_phased)

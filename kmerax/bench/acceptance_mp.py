@@ -83,17 +83,22 @@ def run_config_mp(n: int, scale="1.0", n_procs: int = 2,
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     t0 = time.perf_counter()
+    # stdout goes to per-worker log files: a PIPE left undrained while
+    # waiting on another worker can fill its 64KB OS buffer and deadlock
+    # the whole lockstep run
+    logs = [os.path.join(workdir, f"worker{pid}.log")
+            for pid in range(n_procs)]
     procs = [subprocess.Popen(
         [sys.executable, worker, *args, "--process-id", str(pid)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        env=env, stdout=open(logs[pid], "wb"), stderr=subprocess.STDOUT)
         for pid in range(n_procs)]
-    outs = []
     for p in procs:
-        out, _ = p.communicate()
-        outs.append(out.decode(errors="replace"))
+        p.wait()
     wall = time.perf_counter() - t0
-    for pid, (p, out) in enumerate(zip(procs, outs)):
+    for pid, p in enumerate(procs):
         if p.returncode != 0:
+            with open(logs[pid], "rb") as fh:
+                out = fh.read().decode(errors="replace")
             raise RuntimeError(
                 f"acceptance worker {pid} failed:\n{out[-6000:]}")
 

@@ -179,13 +179,15 @@ def bench_align(cfg: KmeraxConfig, n_reads: int = 16384,
     lengths = jnp.full(n_reads, read_len, dtype=jnp.int32)
 
     @jax.jit
-    def step_x(tab, state, bases):
+    def step_x(spec, state, bases):
+        cd, tab, ln = spec
         found, strand, pos, score, ok = validate_batch_phased(
-            cat_dev, (tab, sh.n_slots, sh.attempt), bases, lengths, k, band)
+            cd, (tab, sh.n_slots, sh.attempt), bases, ln, k, band)
         return (state[0] + jnp.sum(found.astype(jnp.int32)),
                 state[1] & ok)
 
-    step = lambda st, b: step_x(sh.tab, st, b)
+    spec = (cat_dev, sh.tab, lengths)
+    step = lambda st, b: step_x(spec, st, b)
 
     state0 = (jnp.zeros((), jnp.int32), jnp.asarray(True))
     dt, state = _time_fresh_pass(step, state0, batches)

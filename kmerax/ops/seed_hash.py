@@ -178,10 +178,13 @@ def probe_first_hit(tab: jnp.ndarray, n_slots: int, attempt: int,
     first_a, pay_sel_a, any_a = _select_first(pay_a,
                                               fnd_a & read_valid[:, :PA])
 
-    # rows with NO valid position anywhere (batch padding, too-short
-    # reads) can never match — excluding them keeps tail batches from
-    # spuriously overflowing into the replay path
-    unres = ~any_a & jnp.any(read_valid, axis=1)
+    # phase B can only help reads that still have valid positions PAST
+    # the prefix — rows without any (batch padding, short reads whose
+    # windows all sit inside the prefix, all-invalid reads) are final
+    # after phase A and must not consume phase-B capacity or trip the
+    # replay flag (their result already matches the full-width probe:
+    # found=False, first=0, payload=-1)
+    unres = ~any_a & jnp.any(read_valid[:, PA:], axis=1)
     n_un = jnp.sum(unres.astype(jnp.int32))
     (ridx,) = jnp.nonzero(unres, size=cap, fill_value=0)
     # nonzero packs real indices first: rows >= n_un are fill duplicates

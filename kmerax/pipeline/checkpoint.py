@@ -34,8 +34,10 @@ def save_spectrum(dirpath: str, cfg, *, bloom_table=None, exact=None,
         if isinstance(host, ShardedHostSpectrum):
             # range-sharded spectrum: each process saves ONLY its shard
             # (that is the point — nothing global exists anywhere); the
-            # manifest records the shard geometry for resume, and the
-            # range bounds persist so a resumed shard is complete
+            # manifest records the shard geometry for resume. bounds are
+            # persisted for inspection/debugging completeness — nothing
+            # consumes them after construction today (rows already carry
+            # their range implicitly)
             arrays["host_uniq"] = host.local.uniq
             arrays["host_counts"] = host.local.counts
             arrays["host_bounds"] = np.asarray(host.bounds)

@@ -127,6 +127,20 @@ def test_probe_first_hit_matches_plain(err):
         for r, g in zip(ref, rep):
             assert np.array_equal(np.asarray(r), np.asarray(g))
 
+    # short reads whose valid windows all sit INSIDE the prefix (nk <= PA)
+    # are final after phase A: they must neither consume phase-B capacity
+    # nor trip the replay flag, and results still match the plain probe
+    Ls = 40 + k  # nk = 41, but mask validity to the first 20 positions
+    rw_s, rv_s = extract_kmers(jnp.asarray(reads[:, :Ls]), k)
+    rc_s, _ = canonical_words(rw_s, k)
+    rv_s = rv_s & (jnp.arange(rv_s.shape[1]) < 20)
+    ref_s = jax.jit(plain)(rc_s, rv_s)
+    got_s = jax.jit(lambda q, v: probe_first_hit(
+        sh.tab, sh.n_slots, sh.attempt, q, v))(rc_s, rv_s)
+    assert bool(got_s[3]), "prefix-only reads must not trip the replay"
+    for r, g in zip(ref_s, got_s[:3]):
+        assert np.array_equal(np.asarray(r), np.asarray(g))
+
 
 def test_validate_batch_hash_path_matches_pref_path():
     from kmerax.ops.align import build_contig_index, validate_batch
