@@ -30,11 +30,19 @@ def _is_done(workdir: Optional[str], stage: str) -> bool:
 
 
 def _mark_done(workdir: Optional[str], stage: str) -> None:
-    if workdir is not None:
-        tmp = _marker(workdir, stage) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write("complete\n")
-        os.replace(tmp, _marker(workdir, stage))
+    """Write the stage done-marker. Rank 0 only: every process racing an
+    os.replace on the SAME tmp name made one worker consume the other's
+    tmp (FileNotFoundError, intermittent in the 2-process two-pass test);
+    markers are only read at resume time from the shared FS, so a single
+    writer behind the save barrier is complete."""
+    import jax
+
+    if workdir is None or jax.process_index() != 0:
+        return
+    tmp = _marker(workdir, stage) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("complete\n")
+    os.replace(tmp, _marker(workdir, stage))
 
 
 def _count_stage(cfg: KmeraxConfig, paths, workdir, stage: str,
@@ -98,11 +106,19 @@ def _count_stage(cfg: KmeraxConfig, paths, workdir, stage: str,
     if workdir is not None:
         import jax
 
-        save_spectrum(spec_dir, cfg, bloom_table=state.bloom_table,
-                      exact=state.exact, threshold=state.threshold,
-                      hist=state.hist, host=state.host, stage=stage,
-                      extra={"n_reads": state.n_reads,
-                             "n_kmers": state.n_kmers})
+        from kmerax.spectrum.host_sharded import ShardedHostSpectrum
+
+        # sharded spectra: every process saves its own per-pid files;
+        # everything else (one shared spectrum.npz + manifest.json) has a
+        # single writer — concurrent identical writers raced on the same
+        # tmp names (same class as the _mark_done race)
+        if isinstance(state.host, ShardedHostSpectrum) \
+                or jax.process_index() == 0:
+            save_spectrum(spec_dir, cfg, bloom_table=state.bloom_table,
+                          exact=state.exact, threshold=state.threshold,
+                          hist=state.hist, host=state.host, stage=stage,
+                          extra={"n_reads": state.n_reads,
+                                 "n_kmers": state.n_kmers})
         if jax.process_count() > 1:
             # the done marker must imply EVERY process's shard is on disk
             # (a crash between one process's save and another's would
