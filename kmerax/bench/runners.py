@@ -244,11 +244,13 @@ def bench_e2e(cfg: KmeraxConfig, n_reads: int = 65536,
             "count_wall_s": round(t_count, 3),
             "correct_wall_s": round(t_correct, 3),
             "vs_baseline": round(rate / NOMINAL_READS_PER_S, 4),
-            "note": "on the axon tunnel this is bound by the ~5 MB/s "
-                    "host<->device link (int8 batch up + int8 corrected "
-                    "down ~= 0.3 s per 4096-read batch vs ~10 ms compute; "
-                    "profiled round 4); on a directly-attached chip the "
-                    "same pipeline is PCIe-bound"}
+            "note": "on the axon tunnel this is bound by per-batch link "
+                    "round-trips, not bandwidth: the 2-bit wire (io/"
+                    "wire.py, round 5) cuts link bytes 4x vs int8 yet "
+                    "moves the warm tunnel number < 2% (3x3 warm A/B, "
+                    "WIRE_r5.json) — run-to-run tunnel variance ~20% "
+                    "dominates; on a directly-attached chip the pipeline "
+                    "is compute-bound either way"}
 
 
 def run_preset(preset: str, cfg: KmeraxConfig, n_reads: int = 16384) -> dict:

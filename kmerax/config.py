@@ -61,6 +61,11 @@ class KmeraxConfig:
     # multi-host: each process parses/writes only its own file shard
     # (SURVEY.md §1 L1); falls back to all-parse when files < processes
     per_host_io: bool = True
+    # 2-bit host<->device wire (io/wire.py): pack 4 bases/byte across the
+    # host link for N-free batches (per-batch int8 fallback when reads
+    # carry real Ns — identical output bytes either way). The e2e
+    # pipeline is link-bound, so this is ~4x fewer wire bytes.
+    wire_pack: bool = True
 
     # mesh (DESIGN.md §12)
     mesh_data: int = 1

@@ -93,6 +93,20 @@ def _bloom_params(cfg: KmeraxConfig, k: int) -> BloomParams:
                        cfg.bucket_scheme, counter=counter)
 
 
+def _wire_rows(bases, lengths):
+    """Trace-time wire dispatch: (int32 rows, rewrap) for a correct step.
+
+    uint8 input = 2-bit packed wire (io/wire.py): unpack in-graph (pad=4
+    rebuilt from lengths; the up-to-3 extra columns are pure padding) and
+    re-pack the corrected rows for the D2H leg. int8 = legacy wire."""
+    from kmerax.io import wire
+
+    if bases.dtype == jnp.uint8:
+        rows = wire.unpack2_dev_all(bases, lengths).astype(jnp.int32)
+        return rows, wire.pack2_dev
+    return bases.astype(jnp.int32), lambda f: f.astype(jnp.int8)
+
+
 def make_correct_step(params, table, t, *, rounds, max_runs, max_edits):
     """Jitted single-device correct step with the spectrum threaded as an
     ARGUMENT: (step, spec) where step(spec, bases, lengths).
@@ -117,9 +131,10 @@ def make_correct_step(params, table, t, *, rounds, max_runs, max_edits):
 
     k = params.k
     kw = dict(rounds=rounds, max_runs=max_runs, max_edits=max_edits)
-    # bases may arrive as int8 (the H2D wire format — 4x fewer bytes over
-    # the host link) and corrected bases return int8 for the same reason;
-    # device compute stays int32
+    # wire-dtype dispatch (io/wire.py): uint8 rows are the 2-bit packed
+    # wire — unpack AND re-pack inside the one jitted step (a separate
+    # pack/unpack dispatch loses on per-dispatch link overhead); int8 rows
+    # are the legacy wire. Device compute stays int32 either way.
     if pallas_insert_ok(params, table_entries=table.shape[0]):
         fused = make_fused_eval(params, table, t) is not None
 
@@ -130,9 +145,10 @@ def make_correct_step(params, table, t, *, rounds, max_runs, max_edits):
             if fused:
                 ef = lambda bs, ln, lj, er, ei: eval_entries_fused(
                     params, spec, t, bs, ln, lj, er, ei)
-            fixed, ne = _cb(bases.astype(jnp.int32), lengths, k, t,
+            rows, rewrap = _wire_rows(bases, lengths)
+            fixed, ne = _cb(rows, lengths, k, t,
                             solid_fn=sf, eval_fn=ef, **kw)
-            return fixed.astype(jnp.int8), ne
+            return rewrap(fixed), ne
 
         return step, table
 
@@ -141,9 +157,9 @@ def make_correct_step(params, table, t, *, rounds, max_runs, max_edits):
     @jax.jit
     def step(spec, bases, lengths):
         sf = lambda cw, v: query_solid(params, spec, cw, v)
-        fixed, ne = _cb(bases.astype(jnp.int32), lengths, k, t,
-                        solid_fn=sf, **kw)
-        return fixed.astype(jnp.int8), ne
+        rows, rewrap = _wire_rows(bases, lengths)
+        fixed, ne = _cb(rows, lengths, k, t, solid_fn=sf, **kw)
+        return rewrap(fixed), ne
 
     return step, bitmap
 
@@ -244,16 +260,30 @@ def _count_steps(cfg: KmeraxConfig, k: int):
     pend_m = max(1, (cfg.exact_capacity // 2) // pend_rows)
     P = pend_m * pend_rows
 
+    # wire-dtype dispatch (io/wire.py): uint8 rows are the 2-bit packed
+    # wire and unpack in-graph (pad rebuilt from lengths); int8 rows are
+    # the legacy wire. One dispatch per batch either way — a separate
+    # unpack step measurably LOSES on the tunnel (per-dispatch overhead
+    # outweighs the byte savings; experiments, round 5).
+    def _rows(bases, lengths):
+        from kmerax.io import wire
+
+        if bases.dtype == jnp.uint8:
+            # slice back to max_read_len: pend_rows sizing depends on it
+            bases = wire.unpack2_dev_all(bases,
+                                         lengths)[:, :cfg.max_read_len]
+        return bases.astype(jnp.int32)
+
     @jax.jit
-    def bloom_step(table, bases):
-        words, valid = extract_kmers(bases.astype(jnp.int32), k)
+    def bloom_step(table, bases, lengths):
+        words, valid = extract_kmers(_rows(bases, lengths), k)
         canon, _ = canonical_words(words, k)
         table = insert(params, table, canon, valid)
         return table, jnp.sum(valid.astype(jnp.int32))
 
     @jax.jit
-    def pend_append(pending, off, bases):
-        words, valid = extract_kmers(bases.astype(jnp.int32), k)
+    def pend_append(pending, off, bases, lengths):
+        words, valid = extract_kmers(_rows(bases, lengths), k)
         canon, _ = canonical_words(words, k)
         flat = mask_invalid(canon, valid).reshape(-1, w)
         return jax.lax.dynamic_update_slice(pending, flat, (off, 0))
@@ -295,15 +325,25 @@ def run_count(cfg: KmeraxConfig, paths, k: Optional[int] = None,
         pending = sentinel_rows(P, w)
 
     n_reads = n_kmers = 0
+    # 2-bit wire (io/wire.py): N-free batches cross the link packed 4
+    # bases/byte (uint8) and unpack inside the jitted steps; batches with
+    # real Ns fall back to the int8 wire — identical rows either way
+    from kmerax.io import wire
+
     m.stage_start("count")
     with maybe_trace("count"):
         for batch in BackgroundBatcher(paths, cfg.batch_reads,
                                        cfg.max_read_len):
-            # int8 wire format: 4x fewer H2D bytes (device casts to int32)
-            bases = jnp.asarray(batch.bases.astype(np.int8))
-            table, nk = bloom_step(table, bases)
+            if cfg.wire_pack and not wire.batch_has_n(batch.bases,
+                                                      batch.lengths):
+                bases = jnp.asarray(wire.pack2_host(batch.bases))
+            else:
+                # int8 wire: 4x fewer H2D bytes than int32 (device casts)
+                bases = jnp.asarray(batch.bases.astype(np.int8))
+            lens = jnp.asarray(batch.lengths)
+            table, nk = bloom_step(table, bases, lens)
             if host_ex is not None:
-                pending = pend_append(pending, jnp.int32(off), bases)
+                pending = pend_append(pending, jnp.int32(off), bases, lens)
                 off += pend_rows
                 if off == P:
                     host_ex = exact_flush(*host_ex, pending, off)
@@ -634,10 +674,11 @@ def _correct_step_mesh(cfg: KmeraxConfig, state: CountState, mesh=None,
         tspec = P(None)
 
     def local8(tbl, b, l):
-        # int8 at the H2D/D2H boundary (4x fewer host-link bytes), int32
-        # on device
-        fixed, ne = local(tbl, b.astype(jnp.int32), l)
-        return fixed.astype(jnp.int8), ne
+        # wire dispatch at the H2D/D2H boundary (_wire_rows): uint8 =
+        # 2-bit packed, int8 = legacy; int32 on device either way
+        rows, rewrap = _wire_rows(b, l)
+        fixed, ne = local(tbl, rows, l)
+        return rewrap(fixed), ne
 
     sm = shard_map(local8, mesh=mesh, in_specs=(tspec, rspec, rspec),
                    out_specs=(rspec, rspec), check_vma=False)
@@ -737,12 +778,13 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
                 u, c = spec
                 sf = lambda cw, v: (jnp.where(
                     v, lookup_sorted(u, c, cw)[0], 0) >= t) & v
-                fixed, ne = correct_batch(bases.astype(jnp.int32), lengths,
+                rows, rewrap = _wire_rows(bases, lengths)
+                fixed, ne = correct_batch(rows, lengths,
                                           k, t, solid_fn=sf,
                                           rounds=cfg.rounds,
                                           max_runs=cfg.max_runs,
                                           max_edits=cfg.max_edits)
-                return fixed.astype(jnp.int8), ne
+                return rewrap(fixed), ne
 
             spec = (uniq_d, counts_d)
             step = lambda b, l: step_x(spec, b, l)
@@ -755,6 +797,14 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
             step = lambda b, l: step0(spec, b, l)
             put = jnp.asarray
 
+    # 2-bit wire (io/wire.py): on local-readback paths (single process or
+    # per-host) N-free batches cross the link packed 4 bases/byte in BOTH
+    # directions; N-carrying batches fall back to int8 per batch —
+    # identical output bytes (tests/golden/test_wire_pipeline.py)
+    from kmerax.io import wire
+
+    use_pack = cfg.wire_pack and (per_host or jax.process_count() == 1)
+
     n_reads = n_edited = n_edits = 0
     m.stage_start("correct")
     with maybe_trace("correct"):
@@ -763,12 +813,14 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
                 def flush(pend):
                     """Read back + write one completed batch."""
                     nonlocal n_reads, n_edited, n_edits
-                    batch, fixed, ne = pend
+                    batch, fixed, ne, packed = pend
                     if per_host or jax.process_count() == 1:
                         fixed, ne = np.asarray(fixed), np.asarray(ne)
                     else:
                         fixed = _to_host_global(fixed)
                         ne = _to_host_global(ne)
+                    if packed:
+                        fixed = wire.unpack2_host(fixed, cfg.max_read_len)
                     if write_here:
                         for i in range(batch.n):
                             rec = batch.records[i]
@@ -783,11 +835,21 @@ def run_correct(cfg: KmeraxConfig, paths, state: CountState, out_path: str,
                 pend = None
                 for batch in BackgroundBatcher(gpaths, cfg.batch_reads,
                                                cfg.max_read_len):
-                    fixed, ne = step(put(batch.bases.astype(np.int8)),
-                                     put(batch.lengths))
+                    if use_pack and not wire.batch_has_n(batch.bases,
+                                                         batch.lengths):
+                        # 2-bit wire both ways, ONE dispatch: the jitted
+                        # step unpacks uint8 input and re-packs its output
+                        # in-graph (wire-dtype dispatch, _wire_rows)
+                        fixed, ne = step(put(wire.pack2_host(batch.bases)),
+                                         put(batch.lengths))
+                        pend2 = (batch, fixed, ne, True)
+                    else:
+                        fixed, ne = step(put(batch.bases.astype(np.int8)),
+                                         put(batch.lengths))
+                        pend2 = (batch, fixed, ne, False)
                     if pend is not None:
                         flush(pend)
-                    pend = (batch, fixed, ne)
+                    pend = pend2
                 if pend is not None:
                     flush(pend)
     if jax.process_count() > 1:
