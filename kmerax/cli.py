@@ -34,6 +34,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--no-shard-host-spectrum", action="store_true",
                    help="force full spectrum replication onto every host "
                         "(small-run fast path)")
+    p.add_argument("--no-wire-pack", action="store_true",
+                   help="disable the 2-bit host<->device wire (io/wire.py)"
+                        " — every batch uses the int8 wire")
     p.add_argument("--metrics", default=None, help="metrics.jsonl path")
     # mesh / multi-host (SURVEY.md §3.4): mesh axes, then one process per
     # host with --coordinator host:port --num-procs N --process-id P
@@ -59,6 +62,7 @@ def _cfg(args) -> KmeraxConfig:
         shard_host_spectrum=(True if args.shard_host_spectrum else
                              False if args.no_shard_host_spectrum else
                              None),
+        wire_pack=False if args.no_wire_pack else None,
         mesh_data=args.mesh_data, mesh_bucket=args.mesh_bucket,
     )
 
